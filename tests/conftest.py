@@ -1,0 +1,16 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh: sharding/pjit paths compile and
+# execute without TPU hardware; numerics are identical (pure integer ops).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xC0DEC)
