@@ -1,0 +1,110 @@
+"""Top-level H.264 decoder session.
+
+Mirrors the reference's decode entry flow (welsDecoderExt.cpp
+DecodeFrameNoDelay → WelsDecodeBs → ConstructAccessUnit,
+SURVEY.md §3.3): Annex-B in, YUV420 frames out. The entropy/parse phase
+is host-serial; reconstruction runs through the (oracle or JAX batched)
+recon pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..bitstream import (BitReader, split_annexb, NAL_SPS, NAL_PPS, NAL_IDR,
+                         NAL_SLICE, NAL_SUBSET_SPS, NAL_SEI)
+from .framedata import FrameSymbols
+from .params import parse_pps, parse_sps
+from .recon_oracle import recon_intra_frame
+from .slice_dec import SliceDecodeContext, decode_slice_data_cavlc
+from .slicehdr import parse_slice_header, I_SLICE
+from ..oracle.deblock import deblock_frame
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    poc: int = 0
+    frame_num: int = 0
+    is_idr: bool = False
+
+    def planes(self):
+        return self.y, self.u, self.v
+
+
+class H264Decoder:
+    """Session-style decoder: feed Annex-B bytes, collect frames."""
+
+    def __init__(self, use_jax_recon: bool = False):
+        self.sps_map: dict[int, object] = {}
+        self.subset_sps_map: dict[int, object] = {}
+        self.pps_map: dict[int, object] = {}
+        self.use_jax_recon = use_jax_recon
+
+    def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
+        """Decode a whole Annex-B stream (batch mode)."""
+        nals = split_annexb(data)
+        frames: list[DecodedFrame] = []
+        # group VCL nals into access units by first_mb_in_slice == 0
+        pending: list[tuple] = []  # (nal, SliceHeader, BitReader)
+        for nal in nals:
+            if nal.nal_unit_type == NAL_SPS:
+                sps = parse_sps(nal.rbsp)
+                self.sps_map[sps.sps_id] = sps
+            elif nal.nal_unit_type == NAL_SUBSET_SPS:
+                sps = parse_sps(nal.rbsp, is_subset=True)
+                self.subset_sps_map[sps.sps_id] = sps
+            elif nal.nal_unit_type == NAL_PPS:
+                pps = parse_pps(nal.rbsp, self.sps_map)
+                self.pps_map[pps.pps_id] = pps
+            elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR):
+                br = BitReader(nal.rbsp)
+                sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
+                                        self.subset_sps_map)
+                if sh.first_mb_in_slice == 0 and pending:
+                    frames.append(self._decode_picture(pending))
+                    pending = []
+                pending.append((nal, sh, br))
+            # SEI, AUD, filler etc. skipped
+        if pending:
+            frames.append(self._decode_picture(pending))
+        return frames
+
+    def _decode_picture(self, slices) -> DecodedFrame:
+        _, sh0, _ = slices[0]
+        sps = sh0.sps
+        fs = FrameSymbols(sps.mb_width, sps.mb_height)
+        for si, (nal, sh, br) in enumerate(slices):
+            if sh.slice_type != I_SLICE:
+                raise NotImplementedError(
+                    f"slice type {sh.slice_type} decode (P/B come next)")
+            if sh.pps.entropy_coding_mode:
+                raise NotImplementedError("CABAC decode — later milestone")
+            ctx = SliceDecodeContext(fs, sh, si)
+            decode_slice_data_cavlc(br, ctx)
+        st = recon_intra_frame(fs, sh0.pps.constrained_intra_pred)
+        deblock_frame(st, fs)
+        y, u, v = self._crop(sps, st)
+        return DecodedFrame(y, u, v, frame_num=sh0.frame_num,
+                            is_idr=sh0.is_idr)
+
+    @staticmethod
+    def _crop(sps, st):
+        w, h = sps.width, sps.height
+        cl, ct = 2 * sps.crop_left, 2 * sps.crop_top
+        y = st.y[ct:ct + h, cl:cl + w]
+        u = st.u[ct // 2:ct // 2 + h // 2, cl // 2:cl // 2 + w // 2]
+        v = st.v[ct // 2:ct // 2 + h // 2, cl // 2:cl // 2 + w // 2]
+        return y, u, v
+
+
+def write_yuv(frames, path):
+    with open(path, "wb") as f:
+        for fr in frames:
+            f.write(fr.y.tobytes())
+            f.write(fr.u.tobytes())
+            f.write(fr.v.tobytes())

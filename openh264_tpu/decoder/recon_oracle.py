@@ -1,0 +1,147 @@
+"""Numpy sequential reconstruction oracle (bit-exact truth).
+
+Consumes FrameSymbols and produces decoded planes, following the spec
+sample-by-sample. This is the correctness anchor for the batched JAX
+wavefront recon in ops/ — same role the reference's C fallbacks play for
+its SIMD (SURVEY.md §1). Parity: rec_mb.cpp RecI16x16Mb:179 /
+RecI4x4Mb:117 / RecChroma:1057 and decode_slice.cpp:334
+WelsTargetMbConstruction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..oracle import intra as oi
+from ..oracle.transform import idct4x4_add
+from .framedata import (FrameSymbols, MB_I4x4, MB_I16x16, MB_IPCM, MB_I8x8,
+                        ZSCAN_TO_RASTER, INTRA_CLASSES)
+
+
+class ReconState:
+    """Decoded picture planes + per-block decode bookkeeping."""
+
+    def __init__(self, fs: FrameSymbols):
+        self.fs = fs
+        self.w = fs.mb_w * 16
+        self.h = fs.mb_h * 16
+        self.y = np.zeros((self.h, self.w), dtype=np.uint8)
+        self.u = np.zeros((self.h // 2, self.w // 2), dtype=np.uint8)
+        self.v = np.zeros((self.h // 2, self.w // 2), dtype=np.uint8)
+
+
+def _intra_avail(fs: FrameSymbols, cur_idx: int, mbx: int, mby: int,
+                 constrained: bool) -> bool:
+    """Is MB (mbx,mby) available for intra prediction from MB cur_idx?"""
+    if mbx < 0 or mby < 0 or mbx >= fs.mb_w or mby >= fs.mb_h:
+        return False
+    idx = mby * fs.mb_w + mbx
+    if fs.slice_id[idx] != fs.slice_id[cur_idx]:
+        return False
+    if constrained and fs.mb_type[idx] not in INTRA_CLASSES:
+        return False
+    return True
+
+
+def recon_intra_frame(fs: FrameSymbols, constrained: bool = False) -> ReconState:
+    st = ReconState(fs)
+    for mby in range(fs.mb_h):
+        for mbx in range(fs.mb_w):
+            idx = mby * fs.mb_w + mbx
+            t = fs.mb_type[idx]
+            if t in INTRA_CLASSES:
+                recon_intra_mb(st, idx, constrained)
+            elif t >= 0:
+                raise NotImplementedError("inter MB in intra recon oracle")
+    return st
+
+
+def recon_intra_mb(st: ReconState, idx: int, constrained: bool) -> None:
+    fs = st.fs
+    mbx, mby = idx % fs.mb_w, idx // fs.mb_w
+    x0, y0 = mbx * 16, mby * 16
+    t = fs.mb_type[idx]
+    if t == MB_IPCM:
+        y, u, v = fs.ipcm[idx]
+        st.y[y0:y0 + 16, x0:x0 + 16] = y
+        st.u[y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8] = u
+        st.v[y0 // 2:y0 // 2 + 8, x0 // 2:x0 // 2 + 8] = v
+        return
+
+    al = _intra_avail(fs, idx, mbx - 1, mby, constrained)
+    at = _intra_avail(fs, idx, mbx, mby - 1, constrained)
+    atl = _intra_avail(fs, idx, mbx - 1, mby - 1, constrained)
+    atr = _intra_avail(fs, idx, mbx + 1, mby - 1, constrained)
+
+    if t == MB_I16x16:
+        top = st.y[y0 - 1, x0:x0 + 16].astype(np.int32) if at else np.zeros(16, np.int32)
+        left = st.y[y0:y0 + 16, x0 - 1].astype(np.int32) if al else np.zeros(16, np.int32)
+        tl = int(st.y[y0 - 1, x0 - 1]) if atl else 0
+        pred = oi.predict_16x16(int(fs.i16_mode[idx]), top, left, tl, at, al)
+        # add residual per 4x4 block
+        for blk in range(16):
+            bx, by = blk % 4, blk // 4
+            p = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            coef = fs.coeffs_l[idx, blk].reshape(4, 4)
+            st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
+                idct4x4_add(p, coef)
+    elif t == MB_I4x4 or t == MB_I8x8:
+        if t == MB_I8x8:
+            raise NotImplementedError("I8x8 recon (High profile) — later")
+        for k in range(16):
+            raster = int(ZSCAN_TO_RASTER[k])
+            bx, by = raster % 4, raster // 4
+            gx, gy = x0 + bx * 4, y0 + by * 4
+            # per-block availability
+            b_al = (bx > 0) or al
+            b_at = (by > 0) or at
+            b_atl = (bx > 0 and by > 0) or (bx > 0 and at) or (by > 0 and al) or atl
+            # top-right: available if the block above-right is decoded
+            # earlier in decode order and its MB is available
+            b_atr = _block_tr_avail(fs, idx, mbx, mby, bx, by, k, at, atr,
+                                    constrained)
+            top = st.y[gy - 1, gx:gx + 8].astype(np.int32) if b_at else np.zeros(8, np.int32)
+            if b_at and gx + 8 > st.w:
+                top = np.concatenate([st.y[gy - 1, gx:st.w].astype(np.int32),
+                                      np.full(gx + 8 - st.w, st.y[gy - 1, st.w - 1], np.int32)])
+            left = st.y[gy:gy + 4, gx - 1].astype(np.int32) if b_al else np.zeros(4, np.int32)
+            tl = int(st.y[gy - 1, gx - 1]) if b_atl else 0
+            mode = int(fs.i4_modes[idx, raster])
+            pred = oi.predict_4x4(mode, top, left, tl, b_at, b_al, b_atl, b_atr)
+            coef = fs.coeffs_l[idx, raster].reshape(4, 4)
+            st.y[gy:gy + 4, gx:gx + 4] = idct4x4_add(pred, coef)
+
+    # chroma
+    cx0, cy0 = x0 // 2, y0 // 2
+    ctop = st.u[cy0 - 1, cx0:cx0 + 8].astype(np.int32) if at else np.zeros(8, np.int32)
+    cleft = st.u[cy0:cy0 + 8, cx0 - 1].astype(np.int32) if al else np.zeros(8, np.int32)
+    for comp, plane in ((0, st.u), (1, st.v)):
+        top = plane[cy0 - 1, cx0:cx0 + 8].astype(np.int32) if at else np.zeros(8, np.int32)
+        left = plane[cy0:cy0 + 8, cx0 - 1].astype(np.int32) if al else np.zeros(8, np.int32)
+        tl = int(plane[cy0 - 1, cx0 - 1]) if atl else 0
+        pred = oi.predict_chroma(int(fs.chroma_mode[idx]), top, left, tl, at, al)
+        for blk in range(4):
+            bx, by = blk % 2, blk // 2
+            p = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            coef = fs.coeffs_c[idx, comp, blk].reshape(4, 4)
+            plane[cy0 + by * 4:cy0 + by * 4 + 4, cx0 + bx * 4:cx0 + bx * 4 + 4] = \
+                idct4x4_add(p, coef)
+
+
+def _block_tr_avail(fs, idx, mbx, mby, bx, by, zscan_k, at, atr, constrained):
+    """Top-right availability for 4x4 block (bx,by) in MB (mbx,mby),
+    decoded as the zscan_k-th block (§6.4.11.4 via decode order)."""
+    gx, gy = mbx * 4 + bx, mby * 4 + by
+    tx, ty = gx + 1, gy - 1
+    if ty < 0 or tx >= fs.mb_w * 4:
+        return False
+    if by == 0:
+        # neighbor is in the MB row above: top MB (same column) if bx<3,
+        # else the top-right MB
+        return at if bx < 3 else atr
+    # same MB: the block at (bx+1, by-1) must come earlier in zscan order
+    if bx == 3:
+        return False  # would be in MB to the right (not yet decoded)
+    from .framedata import RASTER_TO_ZSCAN
+    neighbor_raster = (by - 1) * 4 + (bx + 1)
+    return int(RASTER_TO_ZSCAN[neighbor_raster]) < zscan_k
