@@ -15,11 +15,12 @@ import numpy as np
 
 from ..bitstream import (BitReader, split_annexb, NAL_SPS, NAL_PPS, NAL_IDR,
                          NAL_SLICE, NAL_SUBSET_SPS, NAL_SEI)
+from .dpb import DPB, Picture, PocContext
 from .framedata import FrameSymbols
 from .params import parse_pps, parse_sps
-from .recon_oracle import recon_intra_frame
+from .recon_oracle import recon_frame
 from .slice_dec import SliceDecodeContext, decode_slice_data_cavlc
-from .slicehdr import parse_slice_header, I_SLICE
+from .slicehdr import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
 from ..oracle.deblock import deblock_frame
 
 
@@ -44,6 +45,9 @@ class H264Decoder:
         self.subset_sps_map: dict[int, object] = {}
         self.pps_map: dict[int, object] = {}
         self.use_jax_recon = use_jax_recon
+        self.dpb: DPB | None = None
+        self.poc_ctx: PocContext | None = None
+        self.active_sps = None
 
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         """Decode a whole Annex-B stream (batch mode)."""
@@ -74,22 +78,47 @@ class H264Decoder:
             frames.append(self._decode_picture(pending))
         return frames
 
+    def _activate_sps(self, sps) -> None:
+        if self.active_sps is sps:
+            return
+        self.active_sps = sps
+        self.dpb = DPB(sps.max_num_ref_frames, 1 << sps.log2_max_frame_num)
+        self.poc_ctx = PocContext(sps)
+
     def _decode_picture(self, slices) -> DecodedFrame:
         _, sh0, _ = slices[0]
         sps = sh0.sps
+        self._activate_sps(sps)
+        poc = self.poc_ctx.compute(sh0, sh0.nal.nal_ref_idc)
         fs = FrameSymbols(sps.mb_width, sps.mb_height)
+        ref_pics: dict[int, Picture] = {}
         for si, (nal, sh, br) in enumerate(slices):
-            if sh.slice_type != I_SLICE:
-                raise NotImplementedError(
-                    f"slice type {sh.slice_type} decode (P/B come next)")
             if sh.pps.entropy_coding_mode:
                 raise NotImplementedError("CABAC decode — later milestone")
-            ctx = SliceDecodeContext(fs, sh, si)
+            l0 = l1 = []
+            if sh.slice_type in (P_SLICE, B_SLICE):
+                if sh.slice_type == P_SLICE:
+                    init = self.dpb.build_list_p(sh.frame_num)
+                    l0 = self.dpb.reorder_list(init, sh.ref_pic_list_modification[0],
+                                               sh.frame_num, sh.num_ref_idx_l0_active)
+                else:
+                    i0, i1 = self.dpb.build_lists_b(poc, sh.frame_num)
+                    l0 = self.dpb.reorder_list(i0, sh.ref_pic_list_modification[0],
+                                               sh.frame_num, sh.num_ref_idx_l0_active)
+                    l1 = self.dpb.reorder_list(i1, sh.ref_pic_list_modification[1],
+                                               sh.frame_num, sh.num_ref_idx_l1_active)
+                for p in l0 + l1:
+                    ref_pics[p.pic_id] = p
+            ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1)
             decode_slice_data_cavlc(br, ctx)
-        st = recon_intra_frame(fs, sh0.pps.constrained_intra_pred)
+        st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred)
         deblock_frame(st, fs)
+        # store into DPB (full uncropped planes; refs must keep MB grid)
+        pic = Picture(0, st.y, st.u, st.v, frame_num=sh0.frame_num, poc=poc,
+                      is_ref=sh0.nal.nal_ref_idc != 0, is_idr=sh0.is_idr)
+        self.dpb.store_picture(pic, sh0)
         y, u, v = self._crop(sps, st)
-        return DecodedFrame(y, u, v, frame_num=sh0.frame_num,
+        return DecodedFrame(y, u, v, poc=poc, frame_num=sh0.frame_num,
                             is_idr=sh0.is_idr)
 
     @staticmethod

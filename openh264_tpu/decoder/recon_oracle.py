@@ -44,6 +44,11 @@ def _intra_avail(fs: FrameSymbols, cur_idx: int, mbx: int, mby: int,
 
 
 def recon_intra_frame(fs: FrameSymbols, constrained: bool = False) -> ReconState:
+    return recon_frame(fs, {}, constrained)
+
+
+def recon_frame(fs: FrameSymbols, ref_pics: dict, constrained: bool = False) -> ReconState:
+    """Full-frame reconstruction. ref_pics: pic_id -> Picture (planes)."""
     st = ReconState(fs)
     for mby in range(fs.mb_h):
         for mbx in range(fs.mb_w):
@@ -52,8 +57,56 @@ def recon_intra_frame(fs: FrameSymbols, constrained: bool = False) -> ReconState
             if t in INTRA_CLASSES:
                 recon_intra_mb(st, idx, constrained)
             elif t >= 0:
-                raise NotImplementedError("inter MB in intra recon oracle")
+                recon_inter_mb(st, idx, ref_pics)
     return st
+
+
+def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
+    """Inter prediction + residual for one MB, per 4x4 block.
+
+    Per-4x4 MC is bit-identical to per-partition MC (the 6-tap/bilinear
+    filters are position-local), mirroring rec_mb.cpp GetInterPred:462.
+    """
+    from ..oracle.mc import bi_avg, mc_chroma, mc_luma
+
+    fs = st.fs
+    mbx, mby = idx % fs.mb_w, idx // fs.mb_w
+    x0, y0 = mbx * 16, mby * 16
+    cx0, cy0 = mbx * 8, mby * 8
+    for blk in range(16):
+        bx, by = blk % 4, blk // 4
+        q = (by // 2) * 2 + (bx // 2)
+        pm = int(fs.pred_mode[idx, q])
+        preds_y = []
+        preds_u = []
+        preds_v = []
+        for lx in ((0,) if pm == 0 else (1,) if pm == 1 else (0, 1)):
+            pid = int(fs.ref_pic[idx, lx, q])
+            ref = ref_pics[pid]
+            mvx, mvy = int(fs.mv[idx, lx, blk, 0]), int(fs.mv[idx, lx, blk, 1])
+            preds_y.append(mc_luma(ref.y, mvx, mvy, x0 + bx * 4, y0 + by * 4, 4, 4))
+            preds_u.append(mc_chroma(ref.u, mvx, mvy, cx0 + bx * 2, cy0 + by * 2, 2, 2))
+            preds_v.append(mc_chroma(ref.v, mvx, mvy, cx0 + bx * 2, cy0 + by * 2, 2, 2))
+        py = preds_y[0] if len(preds_y) == 1 else bi_avg(preds_y[0], preds_y[1])
+        pu = preds_u[0] if len(preds_u) == 1 else bi_avg(preds_u[0], preds_u[1])
+        pv = preds_v[0] if len(preds_v) == 1 else bi_avg(preds_v[0], preds_v[1])
+        coef = fs.coeffs_l[idx, blk].reshape(4, 4)
+        st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
+            idct4x4_add(py, coef)
+        # accumulate the 8x8 chroma prediction; residual is added per
+        # chroma 4x4 block after the loop (IDCT operates on 4x4)
+        st._cpred_u = getattr(st, "_cpred_u", np.zeros((8, 8), np.uint8))
+        st._cpred_v = getattr(st, "_cpred_v", np.zeros((8, 8), np.uint8))
+        st._cpred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pu
+        st._cpred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pv
+    # chroma residual add per 4x4 chroma block
+    for comp, plane, cpred in ((0, st.u, st._cpred_u), (1, st.v, st._cpred_v)):
+        for cblk in range(4):
+            bx, by = cblk % 2, cblk // 2
+            p = cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            coef = fs.coeffs_c[idx, comp, cblk].reshape(4, 4)
+            plane[cy0 + by * 4:cy0 + by * 4 + 4, cx0 + bx * 4:cx0 + bx * 4 + 4] = \
+                idct4x4_add(p, coef)
 
 
 def recon_intra_mb(st: ReconState, idx: int, constrained: bool) -> None:

@@ -15,7 +15,9 @@ from ..tables import CHROMA_QP_TABLE, DEQUANT_4x4, ZIGZAG_4x4
 from ..tables.cavlc import (CBP_INTER, CBP_INTRA, CBP_I16x16)
 from .cavlc import parse_residual_block
 from .framedata import (FrameSymbols, MB_I4x4, MB_I16x16, MB_IPCM, MB_I8x8,
+                        MB_P16x16, MB_P16x8, MB_P8x16, MB_P8x8, MB_PSKIP,
                         ZSCAN_TO_RASTER)
+from .mvpred import MvContext, ensure_motion_grids
 from .slicehdr import SliceHeader, I_SLICE, P_SLICE, B_SLICE
 
 # chroma DC "zigzag": scan order of the 2x2 block (raster)
@@ -27,7 +29,8 @@ _LUMA_DC_SCAN = ZIGZAG_4x4
 class SliceDecodeContext:
     """Per-slice mutable parse state over a FrameSymbols target."""
 
-    def __init__(self, fs: FrameSymbols, sh: SliceHeader, slice_idx: int):
+    def __init__(self, fs: FrameSymbols, sh: SliceHeader, slice_idx: int,
+                 ref_list0=None, ref_list1=None):
         self.fs = fs
         self.sh = sh
         self.slice_idx = slice_idx
@@ -35,6 +38,9 @@ class SliceDecodeContext:
         self.mb_h = fs.mb_h
         self.qp = sh.qp  # running luma QP
         self.constrained_intra = sh.pps.constrained_intra_pred
+        self.ref_list0 = ref_list0 or []
+        self.ref_list1 = ref_list1 or []
+        self.mvctx = MvContext(fs, slice_idx)
         # global intra-4x4-mode grid for mode prediction: -1 unavail
         # (lazily shared across slices via fs)
         if not hasattr(fs, "i4_grid"):
@@ -272,6 +278,149 @@ def parse_mb_residual_cavlc(br: BitReader, ctx: SliceDecodeContext,
         fs.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
 
 
+def _mb_common_init(ctx: SliceDecodeContext, mb_idx: int) -> None:
+    fs, sh = ctx.fs, ctx.sh
+    fs.slice_id[mb_idx] = ctx.slice_idx
+    fs.disable_deblock[mb_idx] = sh.disable_deblocking_filter_idc
+    fs.alpha_offset[mb_idx] = sh.slice_alpha_c0_offset
+    fs.beta_offset[mb_idx] = sh.slice_beta_offset
+    # reset within-MB causality mask for MV prediction
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    ensure_motion_grids(fs)
+    fs.gwritten[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = False
+
+
+def _finish_inter_mb(ctx: SliceDecodeContext, mb_idx: int) -> None:
+    """Copy grid motion into per-MB tensors + resolve DPB picture ids."""
+    fs = ctx.fs
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    gy, gx = mby * 4, mbx * 4
+    fs.mv[mb_idx, 0] = fs.gmv[0, gy:gy + 4, gx:gx + 4].reshape(16, 2)
+    fs.mv[mb_idx, 1] = fs.gmv[1, gy:gy + 4, gx:gx + 4].reshape(16, 2)
+    for q in range(4):
+        qy, qx = gy + (q // 2) * 2, gx + (q % 2) * 2
+        for lx, rl in ((0, ctx.ref_list0), (1, ctx.ref_list1)):
+            r = int(fs.gref[lx, qy, qx])
+            fs.refidx[mb_idx, lx, q] = r
+            fs.ref_pic[mb_idx, lx, q] = rl[r].pic_id if 0 <= r < len(rl) else -1
+        r0 = fs.refidx[mb_idx, 0, q]
+        r1 = fs.refidx[mb_idx, 1, q]
+        fs.pred_mode[mb_idx, q] = (2 if (r0 >= 0 and r1 >= 0) else
+                                   (1 if r1 >= 0 else (0 if r0 >= 0 else -1)))
+
+
+def _mark_intra_in_grids(ctx: SliceDecodeContext, mb_idx: int) -> None:
+    """Intra MBs participate in MV prediction as ref=-1, mv=0."""
+    fs = ctx.fs
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    gy, gx = mby * 4, mbx * 4
+    fs.gmv[:, gy:gy + 4, gx:gx + 4] = 0
+    fs.gref[:, gy:gy + 4, gx:gx + 4] = -1
+    fs.gwritten[gy:gy + 4, gx:gx + 4] = True
+
+
+def decode_p_skip_mb(ctx: SliceDecodeContext, mb_idx: int) -> None:
+    fs = ctx.fs
+    _mb_common_init(ctx, mb_idx)
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    gx, gy = mbx * 4, mby * 4
+    fs.mb_type[mb_idx] = MB_PSKIP
+    mv = ctx.mvctx.pred_skip_mv(gx, gy, mb_idx)
+    ctx.mvctx.set_partition(gx, gy, 4, 4, 0, 0, mv)
+    ctx.mvctx.set_partition(gx, gy, 4, 4, 1, -1, np.zeros(2, np.int32))
+    fs.cbp[mb_idx] = 0
+    fs.qp[mb_idx] = ctx.qp
+    _finish_inter_mb(ctx, mb_idx)
+
+
+def _read_ref_idx(br: BitReader, num_active: int) -> int:
+    if num_active <= 1:
+        return 0
+    return br.te(num_active - 1)
+
+
+# sub_mb_type for P (Table 7-17): (n_parts, pw, ph) in 4x4-block units
+_P_SUB_SHAPES = {0: (1, 2, 2), 1: (2, 2, 1), 2: (2, 1, 2), 3: (4, 1, 1)}
+
+
+def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
+                      mb_type_raw: int) -> None:
+    fs, sh = ctx.fs, ctx.sh
+    if mb_type_raw >= 5:
+        _mb_common_init(ctx, mb_idx)
+        decode_i_mb_cavlc(br, ctx, mb_idx, mb_type_raw - 5)
+        _mark_intra_in_grids(ctx, mb_idx)
+        return
+    _mb_common_init(ctx, mb_idx)
+    fs.pred_mode[mb_idx, :] = 0
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    gx, gy = mbx * 4, mby * 4
+    n_ref = sh.num_ref_idx_l0_active
+    mvc = ctx.mvctx
+
+    if mb_type_raw == 0:  # P_L0_16x16
+        fs.mb_type[mb_idx] = MB_P16x16
+        ref = _read_ref_idx(br, n_ref)
+        mvd = np.array([br.se(), br.se()], np.int32)
+        mv = mvc.pred_mv(gx, gy, 4, 4, 0, ref, mb_idx) + mvd
+        mvc.set_partition(gx, gy, 4, 4, 0, ref, mv)
+    elif mb_type_raw == 1:  # P_L0_L0_16x8
+        fs.mb_type[mb_idx] = MB_P16x8
+        refs = [_read_ref_idx(br, n_ref) for _ in range(2)]
+        for part in range(2):
+            py = gy + part * 2
+            mvd = np.array([br.se(), br.se()], np.int32)
+            mv = mvc.pred_mv(gx, py, 4, 2, 0, refs[part], mb_idx) + mvd
+            mvc.set_partition(gx, py, 4, 2, 0, refs[part], mv)
+    elif mb_type_raw == 2:  # P_L0_L0_8x16
+        fs.mb_type[mb_idx] = MB_P8x16
+        refs = [_read_ref_idx(br, n_ref) for _ in range(2)]
+        for part in range(2):
+            px = gx + part * 2
+            mvd = np.array([br.se(), br.se()], np.int32)
+            mv = mvc.pred_mv(px, gy, 2, 4, 0, refs[part], mb_idx) + mvd
+            mvc.set_partition(px, gy, 2, 4, 0, refs[part], mv)
+    else:  # P_8x8 (3) / P_8x8ref0 (4)
+        fs.mb_type[mb_idx] = MB_P8x8
+        sub_types = [br.ue() for _ in range(4)]
+        if any(t > 3 for t in sub_types):
+            raise ValueError(f"invalid P sub_mb_type {sub_types}")
+        if mb_type_raw == 3:
+            refs = [_read_ref_idx(br, n_ref) for _ in range(4)]
+        else:
+            refs = [0, 0, 0, 0]
+        for q in range(4):
+            q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+            n_parts, pw, ph = _P_SUB_SHAPES[sub_types[q]]
+            for part in range(n_parts):
+                if sub_types[q] == 1:  # 8x4
+                    px, py = q_gx, q_gy + part
+                elif sub_types[q] == 2:  # 4x8
+                    px, py = q_gx + part, q_gy
+                elif sub_types[q] == 3:  # 4x4
+                    px, py = q_gx + (part % 2), q_gy + (part // 2)
+                else:
+                    px, py = q_gx, q_gy
+                mvd = np.array([br.se(), br.se()], np.int32)
+                mv = mvc.pred_mv(px, py, pw, ph, 0, refs[q], mb_idx) + mvd
+                mvc.set_partition(px, py, pw, ph, 0, refs[q], mv)
+    # list1 unused in P
+    mvc.set_partition(gx, gy, 4, 4, 1, -1, np.zeros(2, np.int32))
+    _finish_inter_mb(ctx, mb_idx)
+
+    cbp_code = br.ue()
+    if cbp_code >= 48:
+        raise ValueError("invalid inter cbp")
+    cbp = int(CBP_INTER[cbp_code])
+    fs.cbp[mb_idx] = cbp
+    if cbp:
+        parse_mb_residual_cavlc(br, ctx, mb_idx, cbp, is_i16=False)
+    else:
+        fs.qp[mb_idx] = ctx.qp
+        fs.nzc_l[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        fs.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+
+
 def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
     """Parse all MBs of a slice. Returns index one past the last MB."""
     sh = ctx.sh
@@ -281,9 +430,24 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
     if sh.slice_type == I_SLICE:
         while True:
             mb_type_raw = br.ue()
+            _mb_common_init(ctx, mb_idx)
             decode_i_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
             mb_idx += 1
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
+        return mb_idx
+    if sh.slice_type == P_SLICE:
+        while mb_idx < n_mb:
+            skip_run = br.ue()
+            for _ in range(skip_run):
+                if mb_idx >= n_mb:
+                    raise ValueError("mb_skip_run past end of picture")
+                decode_p_skip_mb(ctx, mb_idx)
+                mb_idx += 1
+            if mb_idx >= n_mb or not br.more_rbsp_data():
+                break
+            mb_type_raw = br.ue()
+            decode_p_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
+            mb_idx += 1
         return mb_idx
     raise NotImplementedError(f"slice type {sh.slice_type} parse")

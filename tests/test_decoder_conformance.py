@@ -30,6 +30,19 @@ STREAMS_I_CAVLC = [
     "BASQP1_Sony_C.jsv",
 ]
 
+# I+P CAVLC streams (MC, MVP, skip, DPB, MMCO, multi-paramset...).
+# The longest ones run in the slow nightly-style sweep, not here.
+STREAMS_P_CAVLC = [
+    "SVA_Base_B.264",
+    "test_vd_1d.264",
+    "test_vd_rc.264",
+    "SVA_BA2_D.264",
+    "SVA_NL2_E.264",
+    "SarVui.264",
+    "Static.264",
+    "NLMQ2_JVC_C.264",
+]
+
 
 def _golden(stream: str) -> bytes:
     path = os.path.join(GOLD, stream + ".yuv")
@@ -43,7 +56,7 @@ def _golden(stream: str) -> bytes:
         return f.read()
 
 
-@pytest.mark.parametrize("stream", STREAMS_I_CAVLC)
+@pytest.mark.parametrize("stream", STREAMS_I_CAVLC + STREAMS_P_CAVLC)
 def test_bit_exact_decode(stream):
     if not os.path.exists(RES):
         pytest.skip("reference res/ not available")
