@@ -32,6 +32,7 @@ class DecodedFrame:
     poc: int = 0
     frame_num: int = 0
     is_idr: bool = False
+    cvs: int = 0  # coded-video-sequence counter (for output ordering)
 
     def planes(self):
         return self.y, self.u, self.v
@@ -76,6 +77,8 @@ class H264Decoder:
             # SEI, AUD, filler etc. skipped
         if pending:
             frames.append(self._decode_picture(pending))
+        # output (display) order: POC within each coded video sequence
+        frames.sort(key=lambda f: (f.cvs, f.poc))
         return frames
 
     def _activate_sps(self, sps) -> None:
@@ -109,17 +112,44 @@ class H264Decoder:
                                                sh.frame_num, sh.num_ref_idx_l1_active)
                 for p in l0 + l1:
                     ref_pics[p.pic_id] = p
-            ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1)
+            ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
+                                     poc=poc)
             decode_slice_data_cavlc(br, ctx)
         st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred)
         deblock_frame(st, fs)
         # store into DPB (full uncropped planes; refs must keep MB grid)
         pic = Picture(0, st.y, st.u, st.v, frame_num=sh0.frame_num, poc=poc,
                       is_ref=sh0.nal.nal_ref_idc != 0, is_idr=sh0.is_idr)
+        self._attach_col_motion(pic, fs)
         self.dpb.store_picture(pic, sh0)
+        if sh0.is_idr:
+            self._cvs_counter = getattr(self, "_cvs_counter", -1) + 1
         y, u, v = self._crop(sps, st)
         return DecodedFrame(y, u, v, poc=poc, frame_num=sh0.frame_num,
-                            is_idr=sh0.is_idr)
+                            is_idr=sh0.is_idr,
+                            cvs=getattr(self, "_cvs_counter", 0))
+
+    @staticmethod
+    def _attach_col_motion(pic: Picture, fs: FrameSymbols) -> None:
+        """Save the picture's motion field for temporal/spatial direct."""
+        from .mvpred import ensure_motion_grids
+        from .framedata import INTRA_CLASSES
+        ensure_motion_grids(fs)
+        pic.col_mv0 = fs.gmv[0].copy()
+        pic.col_mv1 = fs.gmv[1].copy()
+        pic.col_ref0 = fs.gref[0].copy()
+        pic.col_ref1 = fs.gref[1].copy()
+        # expand per-quadrant resolved DPB pic ids to the 4x4 grid
+        rp = fs.ref_pic.reshape(fs.mb_h, fs.mb_w, 2, 2, 2)
+        grids = []
+        for lx in range(2):
+            g = rp[:, :, lx]  # [mby][mbx][qy][qx]
+            g = g.transpose(0, 2, 1, 3).reshape(fs.mb_h * 2, fs.mb_w * 2)
+            grids.append(np.repeat(np.repeat(g, 2, axis=0), 2, axis=1))
+        pic.col_refpic0, pic.col_refpic1 = grids
+        intra_mb = np.isin(fs.mb_type.reshape(fs.mb_h, fs.mb_w),
+                           INTRA_CLASSES)
+        pic.col_intra = np.repeat(np.repeat(intra_mb, 4, axis=0), 4, axis=1)
 
     @staticmethod
     def _crop(sps, st):

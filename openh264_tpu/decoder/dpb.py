@@ -28,6 +28,14 @@ class Picture:
     # derived per current picture during list construction:
     pic_num: int = 0
     long_term_pic_num: int = 0
+    # colocated motion info for B temporal/spatial direct (4x4 grids)
+    col_mv0: np.ndarray = None
+    col_mv1: np.ndarray = None
+    col_ref0: np.ndarray = None
+    col_ref1: np.ndarray = None
+    col_refpic0: np.ndarray = None
+    col_refpic1: np.ndarray = None
+    col_intra: np.ndarray = None
 
 
 class DPB:

@@ -73,10 +73,23 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
     mbx, mby = idx % fs.mb_w, idx // fs.mb_w
     x0, y0 = mbx * 16, mby * 16
     cx0, cy0 = mbx * 8, mby * 8
+    from .framedata import MB_B16x8, MB_B8x16
+    mt = int(fs.mb_type[idx])
     for blk in range(16):
         bx, by = blk % 4, blk // 4
         q = (by // 2) * 2 + (bx // 2)
         pm = int(fs.pred_mode[idx, q])
+        # Reference-compat: openh264's GetInterBPred never truly averages
+        # BI partitions of B 16x8/8x16 MBs (rec_mb.cpp:739-831): for the
+        # first partition the L1 MC overwrites the L0 prediction in place
+        # before a self-average, and for the second partition a doubled
+        # destination offset sends the average outside the partition
+        # (later overwritten). Net effect: part0 BI -> L1-only, part1 BI
+        # -> L0-only. The conformance goldens and the reference's own
+        # SHA-1 table embody this, so we replicate it for bit-exactness.
+        if pm == 2 and mt in (MB_B16x8, MB_B8x16):
+            second = (by >= 2) if mt == MB_B16x8 else (bx >= 2)
+            pm = 0 if second else 1
         preds_y = []
         preds_u = []
         preds_v = []

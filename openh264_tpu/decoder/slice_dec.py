@@ -30,7 +30,7 @@ class SliceDecodeContext:
     """Per-slice mutable parse state over a FrameSymbols target."""
 
     def __init__(self, fs: FrameSymbols, sh: SliceHeader, slice_idx: int,
-                 ref_list0=None, ref_list1=None):
+                 ref_list0=None, ref_list1=None, poc: int = 0):
         self.fs = fs
         self.sh = sh
         self.slice_idx = slice_idx
@@ -41,6 +41,12 @@ class SliceDecodeContext:
         self.ref_list0 = ref_list0 or []
         self.ref_list1 = ref_list1 or []
         self.mvctx = MvContext(fs, slice_idx)
+        self.direct = None
+        self._sd_cache_mb = -1
+        self._sd_cache = None
+        if sh.slice_type == B_SLICE:
+            from .direct import DirectContext
+            self.direct = DirectContext(sh, self.ref_list0, self.ref_list1, poc)
         # global intra-4x4-mode grid for mode prediction: -1 unavail
         # (lazily shared across slices via fs)
         if not hasattr(fs, "i4_grid"):
@@ -112,6 +118,16 @@ class SliceDecodeContext:
             return -1 if self.constrained_intra else 2
         m = int(self.fs.i4_grid[by, bx])
         return 2 if m < 0 else m
+
+    def spatial_direct_mb(self, mb_idx: int):
+        """Cached per-MB spatial-direct refs/MVPs — must be derived from
+        neighbor state BEFORE any of this MB's partitions are written."""
+        if self._sd_cache_mb != mb_idx:
+            mbx, mby = mb_idx % self.mb_w, mb_idx // self.mb_w
+            self._sd_cache = self.direct.spatial_refs(
+                self.mvctx, mbx * 4, mby * 4, mb_idx)
+            self._sd_cache_mb = mb_idx
+        return self._sd_cache
 
 
 def decode_i_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
@@ -421,6 +437,180 @@ def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         fs.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
 
 
+# ---------------------------------------------------------------------------
+# B slices
+# ---------------------------------------------------------------------------
+# two-partition B mb_type 4..21: (shape16x8?, mode_part0, mode_part1)
+# modes: 0=L0, 1=L1, 2=BI
+_B_TWOPART_MODES = [(0, 0), (1, 1), (0, 1), (1, 0), (0, 2), (1, 2),
+                    (2, 0), (2, 1), (2, 2)]
+# B sub_mb_type (Table 7-18): (mode, n_parts, pw, ph) ; mode -1 = direct
+_B_SUB = {0: (-1, 4, 1, 1), 1: (0, 1, 2, 2), 2: (1, 1, 2, 2), 3: (2, 1, 2, 2),
+          4: (0, 2, 2, 1), 5: (0, 2, 1, 2), 6: (1, 2, 2, 1), 7: (1, 2, 1, 2),
+          8: (2, 2, 2, 1), 9: (2, 2, 1, 2), 10: (0, 4, 1, 1),
+          11: (1, 4, 1, 1), 12: (2, 4, 1, 1)}
+
+
+def apply_direct(ctx: SliceDecodeContext, mb_idx: int, gx0: int, gy0: int,
+                 nblk: int) -> None:
+    """Fill motion grids for a direct region: whole MB (nblk=4, at MB
+    corner) or one 8x8 (nblk=2)."""
+    dctx = ctx.direct
+    mvc = ctx.mvctx
+    fs = ctx.fs
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    mb_gx, mb_gy = mbx * 4, mby * 4
+    if dctx.spatial:
+        ref0, ref1, mv0, mv1, use0, use1 = ctx.spatial_direct_mb(mb_idx)
+        step = 2 if dctx.direct_8x8 else 1
+        for oy in range(0, nblk, step):
+            for ox in range(0, nblk, step):
+                bx, by = gx0 + ox, gy0 + oy
+                cz = dctx.col_zero(bx, by) if dctx.col is not None else False
+                m0 = np.zeros(2, np.int32) if (cz and ref0 == 0) else mv0
+                m1 = np.zeros(2, np.int32) if (cz and ref1 == 0) else mv1
+                mvc.set_partition(bx, by, step, step, 0,
+                                  ref0 if use0 else -1, m0 if use0 else 0)
+                mvc.set_partition(bx, by, step, step, 1,
+                                  ref1 if use1 else -1, m1 if use1 else 0)
+    else:
+        step = 2 if dctx.direct_8x8 else 1
+        for oy in range(0, nblk, step):
+            for ox in range(0, nblk, step):
+                bx, by = gx0 + ox, gy0 + oy
+                r0, r1, mv0, mv1 = dctx.temporal_direct(bx, by)
+                mvc.set_partition(bx, by, step, step, 0, r0, mv0)
+                mvc.set_partition(bx, by, step, step, 1, r1, mv1)
+
+
+def decode_b_skip_mb(ctx: SliceDecodeContext, mb_idx: int) -> None:
+    from .framedata import MB_BSKIP
+    fs = ctx.fs
+    _mb_common_init(ctx, mb_idx)
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    fs.mb_type[mb_idx] = MB_BSKIP
+    apply_direct(ctx, mb_idx, mbx * 4, mby * 4, 4)
+    fs.cbp[mb_idx] = 0
+    fs.qp[mb_idx] = ctx.qp
+    _finish_inter_mb(ctx, mb_idx)
+
+
+def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
+                      mb_type_raw: int) -> None:
+    from .framedata import MB_BDIRECT, MB_B16x16, MB_B16x8, MB_B8x16, MB_B8x8
+    fs, sh = ctx.fs, ctx.sh
+    if mb_type_raw >= 23:
+        _mb_common_init(ctx, mb_idx)
+        decode_i_mb_cavlc(br, ctx, mb_idx, mb_type_raw - 23)
+        _mark_intra_in_grids(ctx, mb_idx)
+        return
+    _mb_common_init(ctx, mb_idx)
+    mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    gx, gy = mbx * 4, mby * 4
+    mvc = ctx.mvctx
+    n0, n1 = sh.num_ref_idx_l0_active, sh.num_ref_idx_l1_active
+
+    if mb_type_raw == 0:  # B_Direct_16x16
+        fs.mb_type[mb_idx] = MB_BDIRECT
+        apply_direct(ctx, mb_idx, gx, gy, 4)
+    elif mb_type_raw <= 3:  # B_X_16x16
+        fs.mb_type[mb_idx] = MB_B16x16
+        mode = mb_type_raw - 1  # 0=L0,1=L1,2=BI
+        lists = (0,) if mode == 0 else (1,) if mode == 1 else (0, 1)
+        refs = {}
+        for lx in lists:
+            refs[lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+        # unused lists become final (ref -1, mv 0) as soon as refs are known
+        for lx in (0, 1):
+            if lx not in lists:
+                mvc.set_partition(gx, gy, 4, 4, lx, -1, np.zeros(2, np.int32))
+        for lx in lists:
+            mvd = np.array([br.se(), br.se()], np.int32)
+            mv = mvc.pred_mv(gx, gy, 4, 4, lx, refs[lx], mb_idx) + mvd
+            mvc.set_partition(gx, gy, 4, 4, lx, refs[lx], mv)
+    elif mb_type_raw <= 21:  # two partitions
+        t = mb_type_raw - 4
+        is16x8 = (t % 2) == 0
+        modes = _B_TWOPART_MODES[t // 2]
+        fs.mb_type[mb_idx] = MB_B16x8 if is16x8 else MB_B8x16
+        pw, ph = (4, 2) if is16x8 else (2, 4)
+        part_pos = [(gx, gy), (gx, gy + 2) if is16x8 else (gx + 2, gy)]
+        refs = [[-1, -1], [-1, -1]]
+        for lx in (0, 1):
+            for part in range(2):
+                if modes[part] == lx or modes[part] == 2:
+                    refs[part][lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+        # unused lists become final immediately (visible to later MVPs)
+        for part in range(2):
+            px, py = part_pos[part]
+            for lx in (0, 1):
+                if refs[part][lx] < 0:
+                    mvc.set_partition(px, py, pw, ph, lx, -1, np.zeros(2, np.int32))
+        for lx in (0, 1):
+            for part in range(2):
+                px, py = part_pos[part]
+                if refs[part][lx] >= 0:
+                    mvd = np.array([br.se(), br.se()], np.int32)
+                    mv = mvc.pred_mv(px, py, pw, ph, lx, refs[part][lx], mb_idx) + mvd
+                    mvc.set_partition(px, py, pw, ph, lx, refs[part][lx], mv)
+    else:  # 22: B_8x8
+        fs.mb_type[mb_idx] = MB_B8x8
+        sub_types = [br.ue() for _ in range(4)]
+        if any(t > 12 for t in sub_types):
+            raise ValueError(f"invalid B sub_mb_type {sub_types}")
+        subs = [_B_SUB[t] for t in sub_types]
+        refs = [[-1, -1] for _ in range(4)]
+        for lx in (0, 1):
+            for q in range(4):
+                mode = subs[q][0]
+                if mode == lx or mode == 2:
+                    refs[q][lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+        # direct sub-blocks resolved before any mvd parse uses neighbors
+        for q in range(4):
+            if subs[q][0] == -1:
+                apply_direct(ctx, mb_idx, gx + (q % 2) * 2, gy + (q // 2) * 2, 2)
+        # unused lists of non-direct sub-blocks become final immediately
+        for q in range(4):
+            if subs[q][0] == -1:
+                continue
+            q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+            for lx in (0, 1):
+                if refs[q][lx] < 0:
+                    mvc.set_partition(q_gx, q_gy, 2, 2, lx, -1,
+                                      np.zeros(2, np.int32))
+        for lx in (0, 1):
+            for q in range(4):
+                mode, n_parts, pw, ph = subs[q]
+                if mode == -1 or (mode != lx and mode != 2):
+                    continue
+                q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+                for part in range(n_parts):
+                    if (pw, ph) == (2, 1):
+                        px, py = q_gx, q_gy + part
+                    elif (pw, ph) == (1, 2):
+                        px, py = q_gx + part, q_gy
+                    elif (pw, ph) == (1, 1):
+                        px, py = q_gx + (part % 2), q_gy + (part // 2)
+                    else:
+                        px, py = q_gx, q_gy
+                    mvd = np.array([br.se(), br.se()], np.int32)
+                    mv = mvc.pred_mv(px, py, pw, ph, lx, refs[q][lx], mb_idx) + mvd
+                    mvc.set_partition(px, py, pw, ph, lx, refs[q][lx], mv)
+    _finish_inter_mb(ctx, mb_idx)
+
+    cbp_code = br.ue()
+    if cbp_code >= 48:
+        raise ValueError("invalid inter cbp")
+    cbp = int(CBP_INTER[cbp_code])
+    fs.cbp[mb_idx] = cbp
+    if cbp:
+        parse_mb_residual_cavlc(br, ctx, mb_idx, cbp, is_i16=False)
+    else:
+        fs.qp[mb_idx] = ctx.qp
+        fs.nzc_l[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 0
+        fs.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+
+
 def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
     """Parse all MBs of a slice. Returns index one past the last MB."""
     sh = ctx.sh
@@ -436,18 +626,25 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
         return mb_idx
-    if sh.slice_type == P_SLICE:
+    if sh.slice_type in (P_SLICE, B_SLICE):
+        is_b = sh.slice_type == B_SLICE
         while mb_idx < n_mb:
             skip_run = br.ue()
             for _ in range(skip_run):
                 if mb_idx >= n_mb:
                     raise ValueError("mb_skip_run past end of picture")
-                decode_p_skip_mb(ctx, mb_idx)
+                if is_b:
+                    decode_b_skip_mb(ctx, mb_idx)
+                else:
+                    decode_p_skip_mb(ctx, mb_idx)
                 mb_idx += 1
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
             mb_type_raw = br.ue()
-            decode_p_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
+            if is_b:
+                decode_b_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
+            else:
+                decode_p_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
             mb_idx += 1
         return mb_idx
     raise NotImplementedError(f"slice type {sh.slice_type} parse")

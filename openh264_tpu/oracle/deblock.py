@@ -135,24 +135,43 @@ def compute_bs_edge(fs, mb_idx, edge, vertical: bool) -> np.ndarray:
     return bs
 
 
+def _mv_far(a, b) -> bool:
+    return abs(int(a[0]) - int(b[0])) >= 4 or abs(int(a[1]) - int(b[1])) >= 4
+
+
 def _bs_mv(fs, bpx, bpy, bqx, bqy) -> int:
-    """bS 0/1 from motion difference between 4x4 blocks p and q."""
+    """bS 0/1 from motion difference between 4x4 blocks p and q
+    (§8.7.2.1, both lists; handles bipred with same/different refs)."""
     mbp = (bpy // 4) * fs.mb_w + (bpx // 4)
     mbq = (bqy // 4) * fs.mb_w + (bqx // 4)
     bp = (bpy % 4) * 4 + (bpx % 4)
     bq = (bqy % 4) * 4 + (bqx % 4)
-    qp8 = (bq // 8) * 2 + ((bq % 4) // 2)
     pp8 = (bp // 8) * 2 + ((bp % 4) // 2)
-    # resolve reference pictures (DPB ids)
-    for lx in (0,):
-        rp = fs.ref_pic[mbp, 0, pp8]
-        rq = fs.ref_pic[mbq, 0, qp8]
-        if rp != rq:
-            return 1
-        mvp = fs.mv[mbp, 0, bp]
-        mvq = fs.mv[mbq, 0, bq]
-        if abs(int(mvp[0]) - int(mvq[0])) >= 4 or abs(int(mvp[1]) - int(mvq[1])) >= 4:
-            return 1
+    qp8 = (bq // 8) * 2 + ((bq % 4) // 2)
+    # (refpic, mv) pairs actually used by each side
+    P = [(int(fs.ref_pic[mbp, lx, pp8]), fs.mv[mbp, lx, bp])
+         for lx in (0, 1) if fs.refidx[mbp, lx, pp8] >= 0]
+    Q = [(int(fs.ref_pic[mbq, lx, qp8]), fs.mv[mbq, lx, bq])
+         for lx in (0, 1) if fs.refidx[mbq, lx, qp8] >= 0]
+    if len(P) != len(Q):
+        return 1
+    if sorted(r for r, _ in P) != sorted(r for r, _ in Q):
+        return 1
+    if len(P) == 1:
+        return 1 if _mv_far(P[0][1], Q[0][1]) else 0
+    if len(P) == 2:
+        rp0, rp1 = P[0][0], P[1][0]
+        if rp0 != rp1:
+            # match by reference picture
+            qmap = {r: mv for r, mv in Q}
+            for r, mv in P:
+                if _mv_far(mv, qmap[r]):
+                    return 1
+            return 0
+        # same picture in both lists: either pairing may satisfy
+        a = not _mv_far(P[0][1], Q[0][1]) and not _mv_far(P[1][1], Q[1][1])
+        b = not _mv_far(P[0][1], Q[1][1]) and not _mv_far(P[1][1], Q[0][1])
+        return 0 if (a or b) else 1
     return 0
 
 
