@@ -96,8 +96,6 @@ class H264Decoder:
         fs = FrameSymbols(sps.mb_width, sps.mb_height)
         ref_pics: dict[int, Picture] = {}
         for si, (nal, sh, br) in enumerate(slices):
-            if sh.pps.entropy_coding_mode:
-                raise NotImplementedError("CABAC decode — later milestone")
             l0 = l1 = []
             if sh.slice_type in (P_SLICE, B_SLICE):
                 if sh.slice_type == P_SLICE:
@@ -114,7 +112,11 @@ class H264Decoder:
                     ref_pics[p.pic_id] = p
             ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
                                      poc=poc)
-            decode_slice_data_cavlc(br, ctx)
+            if sh.pps.entropy_coding_mode:
+                from .slice_dec_cabac import decode_slice_data_cabac
+                decode_slice_data_cabac(nal.rbsp, sh.header_bits, ctx)
+            else:
+                decode_slice_data_cavlc(br, ctx)
         st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred)
         deblock_frame(st, fs)
         # store into DPB (full uncropped planes; refs must keep MB grid)

@@ -149,7 +149,7 @@ def decode_i_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         u = np.frombuffer(bytes(br.u(8) for _ in range(64)), np.uint8).reshape(8, 8)
         v = np.frombuffer(bytes(br.u(8) for _ in range(64)), np.uint8).reshape(8, 8)
         fs.ipcm[mb_idx] = (y, u, v)
-        fs.qp[mb_idx] = ctx.qp
+        fs.qp[mb_idx] = 0  # IPCM: QP 0 for deblocking (spec 8.7; ref pLumaQp=0)
         # IPCM: nzc treated as 16 for deblock/nC purposes
         fs.nzc_l[mby * 4:mby * 4 + 4, mbx * 4:mbx * 4 + 4] = 16
         fs.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 16
