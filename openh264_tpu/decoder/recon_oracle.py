@@ -75,6 +75,7 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
     cx0, cy0 = mbx * 8, mby * 8
     from .framedata import MB_B16x8, MB_B8x16
     mt = int(fs.mb_type[idx])
+    pred_y = np.zeros((16, 16), np.uint8)
     for blk in range(16):
         bx, by = blk % 4, blk // 4
         q = (by // 2) * 2 + (bx // 2)
@@ -103,15 +104,30 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
         py = preds_y[0] if len(preds_y) == 1 else bi_avg(preds_y[0], preds_y[1])
         pu = preds_u[0] if len(preds_u) == 1 else bi_avg(preds_u[0], preds_u[1])
         pv = preds_v[0] if len(preds_v) == 1 else bi_avg(preds_v[0], preds_v[1])
-        coef = fs.coeffs_l[idx, blk].reshape(4, 4)
-        st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
-            idct4x4_add(py, coef)
+        pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py
         # accumulate the 8x8 chroma prediction; residual is added per
         # chroma 4x4 block after the loop (IDCT operates on 4x4)
         st._cpred_u = getattr(st, "_cpred_u", np.zeros((8, 8), np.uint8))
         st._cpred_v = getattr(st, "_cpred_v", np.zeros((8, 8), np.uint8))
         st._cpred_u[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pu
         st._cpred_v[by * 2:by * 2 + 2, bx * 2:bx * 2 + 2] = pv
+    # luma residual add: 4x4 or 8x8 transform
+    if fs.transform8[idx]:
+        from ..oracle.intra8 import idct8x8_add
+        fs.ensure_coeffs8()
+        for blk8 in range(4):
+            b8x, b8y = (blk8 % 2) * 8, (blk8 // 2) * 8
+            p8 = pred_y[b8y:b8y + 8, b8x:b8x + 8]
+            coef = fs.coeffs8[idx, blk8]
+            out = idct8x8_add(p8, coef) if np.any(coef) else p8
+            st.y[y0 + b8y:y0 + b8y + 8, x0 + b8x:x0 + b8x + 8] = out
+    else:
+        for blk in range(16):
+            bx, by = blk % 4, blk // 4
+            p = pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
+            coef = fs.coeffs_l[idx, blk].reshape(4, 4)
+            st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
+                idct4x4_add(p, coef)
     # chroma residual add per 4x4 chroma block
     for comp, plane, cpred in ((0, st.u, st._cpred_u), (1, st.v, st._cpred_v)):
         for cblk in range(4):
@@ -151,9 +167,39 @@ def recon_intra_mb(st: ReconState, idx: int, constrained: bool) -> None:
             coef = fs.coeffs_l[idx, blk].reshape(4, 4)
             st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
                 idct4x4_add(p, coef)
-    elif t == MB_I4x4 or t == MB_I8x8:
-        if t == MB_I8x8:
-            raise NotImplementedError("I8x8 recon (High profile) — later")
+    elif t == MB_I8x8:
+        from ..oracle.intra8 import idct8x8_add, predict_8x8
+        fs.ensure_coeffs8()
+        for blk8 in range(4):
+            b8x, b8y = blk8 % 2, blk8 // 2
+            gx, gy = x0 + b8x * 8, y0 + b8y * 8
+            b_at = (b8y > 0) or at
+            b_al = (b8x > 0) or al
+            if blk8 == 0:
+                b_atl, b_atr = atl, at
+            elif blk8 == 1:
+                b_atl, b_atr = at, atr
+            elif blk8 == 2:
+                b_atl, b_atr = al, True
+            else:
+                b_atl, b_atr = True, False
+            top = np.zeros(16, np.int32)
+            if b_at:
+                end = min(gx + 16, st.w)
+                seg = st.y[gy - 1, gx:end].astype(np.int32)
+                top[:len(seg)] = seg
+                if len(seg) < 16:
+                    top[len(seg):] = seg[-1]
+            left = st.y[gy:gy + 8, gx - 1].astype(np.int32) if b_al else np.zeros(8, np.int32)
+            tl = int(st.y[gy - 1, gx - 1]) if b_atl else 0
+            mode = int(fs.i4_modes[idx, (b8y * 2) * 4 + b8x * 2])
+            pred = predict_8x8(mode, top, left, tl, b_at, b_al, b_atl, b_atr)
+            coef = fs.coeffs8[idx, blk8]
+            if np.any(coef):
+                st.y[gy:gy + 8, gx:gx + 8] = idct8x8_add(pred, coef)
+            else:
+                st.y[gy:gy + 8, gx:gx + 8] = pred
+    elif t == MB_I4x4:
         for k in range(16):
             raster = int(ZSCAN_TO_RASTER[k])
             bx, by = raster % 4, raster // 4

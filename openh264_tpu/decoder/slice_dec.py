@@ -47,6 +47,8 @@ class SliceDecodeContext:
         if sh.slice_type == B_SLICE:
             from .direct import DirectContext
             self.direct = DirectContext(sh, self.ref_list0, self.ref_list1, poc)
+        from .dequant import DequantTables
+        self.dq = DequantTables(sh.sps, sh.pps)
         # global intra-4x4-mode grid for mode prediction: -1 unavail
         # (lazily shared across slices via fs)
         if not hasattr(fs, "i4_grid"):
@@ -224,14 +226,12 @@ def parse_mb_residual_cavlc(br: BitReader, ctx: SliceDecodeContext,
             ctx.qp = (ctx.qp + delta + 52) % 52
     fs.qp[mb_idx] = ctx.qp
     qp = ctx.qp
+    intra = fs.mb_type[mb_idx] in (MB_I4x4, MB_I16x16, MB_I8x8)
     # per-plane chroma QP (Cb: primary offset, Cr: secondary offset)
     offs = (sh.pps.chroma_qp_index_offset, sh.pps.second_chroma_qp_index_offset)
     fs.chroma_qp_offsets = offs
     qp_c = [int(CHROMA_QP_TABLE[np.clip(qp + o, 0, 51)]) for o in offs]
-    dq_l = DEQUANT_4x4[qp]
-    dq_c = [DEQUANT_4x4[q] for q in qp_c]
-
-    nzc_l = np.zeros(16, dtype=np.int32)  # raster block order
+    dq = ctx.dq
 
     if is_i16:
         # luma DC: nC from block (0,0) position context
@@ -240,41 +240,63 @@ def parse_mb_residual_cavlc(br: BitReader, ctx: SliceDecodeContext,
         dc_scan, _ = parse_residual_block(br, nc, 16)
         dc = np.zeros(16, dtype=np.int32)
         dc[_LUMA_DC_SCAN] = dc_scan
-        rec_dc = luma_dc_dequant_ihadamard(dc.reshape(4, 4), qp)
+        rec_dc = luma_dc_dequant_ihadamard(dc.reshape(4, 4), qp,
+                                           dq.luma_dc_qmul(qp))
         # write DC into coefficient slot 0 of each 4x4 block (raster)
         fs.coeffs_l[mb_idx, :, 0] = rec_dc.reshape(-1)
 
-    # luma AC / 4x4 blocks in z-scan order
-    for k in range(16):
-        raster = int(ZSCAN_TO_RASTER[k])
-        bx, by = raster % 4, raster // 4
-        gx, gy = mbx * 4 + bx, mby * 4 + by
-        blk8 = (by >> 1) * 2 + (bx >> 1)
-        if not (cbp & (1 << blk8)):
-            fs.nzc_l[gy, gx] = 0
-            continue
-        nc = ctx.nc_luma(gx, gy)
-        if is_i16:
-            coeffs_scan, tc = parse_residual_block(br, nc, 15)
-            blkc = np.zeros(16, dtype=np.int32)
-            blkc[ZIGZAG_4x4[1:]] = coeffs_scan
-        else:
-            coeffs_scan, tc = parse_residual_block(br, nc, 16)
-            blkc = np.zeros(16, dtype=np.int32)
-            blkc[ZIGZAG_4x4] = coeffs_scan
-        deq = blkc * dq_l
-        if is_i16:
-            deq[0] = fs.coeffs_l[mb_idx, raster, 0]
-        fs.coeffs_l[mb_idx, raster] = deq
-        fs.nzc_l[gy, gx] = tc
-        nzc_l[raster] = tc
+    if fs.transform8[mb_idx]:
+        # 8x8 transform: 4 interleaved 4x4 CAVLC parses per 8x8 block
+        # (parity: WelsResidualBlockCavlc8x8)
+        from ..tables import ZIGZAG_8x8
+        fs.ensure_coeffs8()
+        for blk8 in range(4):
+            b8x, b8y = blk8 % 2, blk8 // 2
+            gx0, gy0 = mbx * 4 + b8x * 2, mby * 4 + b8y * 2
+            if not (cbp & (1 << blk8)):
+                fs.nzc_l[gy0:gy0 + 2, gx0:gx0 + 2] = 0
+                continue
+            levels = np.zeros(64, dtype=np.int32)
+            for sub in range(4):
+                gx, gy = gx0 + (sub % 2), gy0 + (sub // 2)
+                nc = ctx.nc_luma(gx, gy)
+                coeffs_scan, tc = parse_residual_block(br, nc, 16)
+                # interleave: scan pos j of sub-block -> 8x8 scan 4*j+sub
+                levels[ZIGZAG_8x8[np.arange(16) * 4 + sub]] = coeffs_scan
+                fs.nzc_l[gy, gx] = tc
+            fs.coeffs8[mb_idx, blk8] = dq.luma8x8(levels, qp, intra)
+    else:
+        # luma AC / 4x4 blocks in z-scan order
+        for k in range(16):
+            raster = int(ZSCAN_TO_RASTER[k])
+            bx, by = raster % 4, raster // 4
+            gx, gy = mbx * 4 + bx, mby * 4 + by
+            blk8 = (by >> 1) * 2 + (bx >> 1)
+            if not (cbp & (1 << blk8)):
+                fs.nzc_l[gy, gx] = 0
+                continue
+            nc = ctx.nc_luma(gx, gy)
+            if is_i16:
+                coeffs_scan, tc = parse_residual_block(br, nc, 15)
+                blkc = np.zeros(16, dtype=np.int32)
+                blkc[ZIGZAG_4x4[1:]] = coeffs_scan
+            else:
+                coeffs_scan, tc = parse_residual_block(br, nc, 16)
+                blkc = np.zeros(16, dtype=np.int32)
+                blkc[ZIGZAG_4x4] = coeffs_scan
+            deq = dq.luma_ac(blkc, qp, intra)
+            if is_i16:
+                deq[0] = fs.coeffs_l[mb_idx, raster, 0]
+            fs.coeffs_l[mb_idx, raster] = deq
+            fs.nzc_l[gy, gx] = tc
 
     # chroma DC (cbp chroma bits: 0x30 mask; any nonzero -> DC present)
     if cbp & 0x30:
+        from ..oracle.transform import hadamard2x2
         for comp in range(2):
             dc_scan, _ = parse_residual_block(br, -1, 4)
-            dc2 = dc_scan.reshape(2, 2)
-            rec = chroma_dc_dequant_ihadamard(dc2, qp_c[comp])
+            had = hadamard2x2(dc_scan.reshape(2, 2))
+            rec = dq.chroma_dc(had, qp_c[comp], intra, comp)
             fs.coeffs_c[mb_idx, comp, :, 0] = rec.reshape(-1)
     # chroma AC
     if cbp & 0x20:
@@ -286,7 +308,7 @@ def parse_mb_residual_cavlc(br: BitReader, ctx: SliceDecodeContext,
                 coeffs_scan, tc = parse_residual_block(br, nc, 15)
                 blkc = np.zeros(16, dtype=np.int32)
                 blkc[ZIGZAG_4x4[1:]] = coeffs_scan
-                deq = blkc * dq_c[comp]
+                deq = dq.chroma_ac(blkc, qp_c[comp], intra, comp)
                 deq[0] = fs.coeffs_c[mb_idx, comp, k, 0]
                 fs.coeffs_c[mb_idx, comp, k] = deq
                 fs.nzc_c[comp, cy, cx] = tc

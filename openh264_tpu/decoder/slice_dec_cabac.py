@@ -446,10 +446,10 @@ class CabacSliceDecoder:
 def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
                              is_i16: bool) -> None:
     """Residual block loop (mirrors parse_mb_residual_cavlc's storage)."""
-    from ..oracle.transform import (chroma_dc_dequant_ihadamard,
-                                    luma_dc_dequant_ihadamard)
+    from ..oracle.transform import hadamard2x2, luma_dc_dequant_ihadamard
     ctx, fs, sh = dec.ctx, dec.fs, dec.sh
     mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
+    intra = fs.mb_type[mb_idx] in (MB_I4x4, MB_I16x16, MB_I8x8)
 
     if is_i16 or cbp:
         delta = dec.delta_qp()
@@ -462,20 +462,20 @@ def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
     offs = (sh.pps.chroma_qp_index_offset, sh.pps.second_chroma_qp_index_offset)
     fs.chroma_qp_offsets = offs
     qp_c = [int(CHROMA_QP_TABLE[np.clip(qp + o, 0, 51)]) for o in offs]
-    dq_l = DEQUANT_4x4[qp]
-    dq_c = [DEQUANT_4x4[q] for q in qp_c]
+    dq = ctx.dq
 
     if is_i16:
         if dec.cbf(mb_idx, I16_DC, dc_bit=0):
             dc_scan, _ = dec.residual_levels(I16_DC)
             dc = np.zeros(16, dtype=np.int32)
             dc[_LUMA_DC_SCAN] = dc_scan
-            rec_dc = luma_dc_dequant_ihadamard(dc.reshape(4, 4), qp)
+            rec_dc = luma_dc_dequant_ihadamard(dc.reshape(4, 4), qp,
+                                               dq.luma_dc_qmul(qp))
             fs.coeffs_l[mb_idx, :, 0] = rec_dc.reshape(-1)
 
     if fs.transform8[mb_idx]:
         fs.ensure_coeffs8()
-        from ..tables import ZIGZAG_8x8, DEQUANT_8x8
+        from ..tables import ZIGZAG_8x8
         for blk8 in range(4):
             gx = mbx * 4 + (blk8 % 2) * 2
             gy = mby * 4 + (blk8 // 2) * 2
@@ -485,14 +485,7 @@ def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
             sig, tc = dec.residual_levels(LUMA_8x8)
             blkc = np.zeros(64, dtype=np.int32)
             blkc[ZIGZAG_8x8] = sig
-            # 8x8 dequant (flat): (c * dq << (qp/6)) per reference scaling
-            d8 = DEQUANT_8x8[qp].astype(np.int64)
-            if qp >= 36:
-                deq = (blkc * (d8 * 16) * (1 << (qp // 6 - 6))).astype(np.int32)
-            else:
-                deq = ((blkc * (d8 * 16) + (1 << (5 - qp // 6))) >>
-                       (6 - qp // 6)).astype(np.int32)
-            fs.coeffs8[mb_idx, blk8] = deq
+            fs.coeffs8[mb_idx, blk8] = dq.luma8x8(blkc, qp, intra)
             fs.nzc_l[gy:gy + 2, gx:gx + 2] = min(tc, 16)
     else:
         for k in range(16):
@@ -511,7 +504,7 @@ def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
                     blkc[ZIGZAG_4x4[1:]] = sig
                 else:
                     blkc[ZIGZAG_4x4] = sig
-                deq = blkc * dq_l
+                deq = dq.luma_ac(blkc, qp, intra)
                 if is_i16:
                     deq[0] = fs.coeffs_l[mb_idx, raster, 0]
                 fs.coeffs_l[mb_idx, raster] = deq
@@ -525,7 +518,8 @@ def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
         for comp in range(2):
             if dec.cbf(mb_idx, CHROMA_DC, dc_bit=1 + comp):
                 dc_scan, _ = dec.residual_levels(CHROMA_DC)
-                rec = chroma_dc_dequant_ihadamard(dc_scan.reshape(2, 2), qp_c[comp])
+                had = hadamard2x2(dc_scan.reshape(2, 2))
+                rec = dq.chroma_dc(had, qp_c[comp], intra, comp)
                 fs.coeffs_c[mb_idx, comp, :, 0] = rec.reshape(-1)
     if cbp & 0x20:
         for comp in range(2):
@@ -536,7 +530,7 @@ def _store_mb_residual_cabac(dec: CabacSliceDecoder, mb_idx: int, cbp: int,
                     sig, tc = dec.residual_levels(CHROMA_AC)
                     blkc = np.zeros(16, dtype=np.int32)
                     blkc[ZIGZAG_4x4[1:]] = sig
-                    deq = blkc * dq_c[comp]
+                    deq = dq.chroma_ac(blkc, qp_c[comp], intra, comp)
                     deq[0] = fs.coeffs_c[mb_idx, comp, k, 0]
                     fs.coeffs_c[mb_idx, comp, k] = deq
                     fs.nzc_c[comp, cy, cx] = tc

@@ -199,6 +199,9 @@ def deblock_frame(st, fs) -> None:
 
             for vertical in (True, False):
                 for edge in range(4):
+                    # 8x8 transform MBs: interior 4-pel luma edges absent
+                    if edge in (1, 3) and fs.transform8[idx]:
+                        continue
                     if edge == 0:
                         if vertical and not same_slice_left:
                             continue

@@ -127,13 +127,16 @@ def ihadamard4x4(x: np.ndarray) -> np.ndarray:
     return h @ x.astype(np.int32) @ h.T
 
 
-def luma_dc_dequant_ihadamard(dc: np.ndarray, qp: int) -> np.ndarray:
-    """I16x16 luma DC inverse: IHadamard then (v * (dequant[qp][0]<<4) + 32)>>6.
+def luma_dc_dequant_ihadamard(dc: np.ndarray, qp: int,
+                              qmul: int | None = None) -> np.ndarray:
+    """I16x16 luma DC inverse: IHadamard then (v * qmul + 32)>>6 with
+    qmul = dequant[qp][0]<<4 (flat) or the scaling-list multiplier.
 
     Result is the per-4x4-block DC value of the scaled coefficients,
     stored int16 in the reference.
     """
-    qmul = int(DEQUANT_4x4[qp][0]) << 4
+    if qmul is None:
+        qmul = int(DEQUANT_4x4[qp][0]) << 4
     t = ihadamard4x4(dc)
     return wrap_i16((t * qmul + 32) >> 6)
 
