@@ -1,0 +1,291 @@
+"""H.264 encoder session: TPU core + host entropy assembly.
+
+Flow per frame (SURVEY.md §7 "two-phase entropy"): the jitted JAX core
+(core_jax) produces per-MB symbol tensors + recon on device; the host
+walks MBs once to emit CAVLC bits (reusing the decoder's MV-prediction
+machinery so MVP/skip semantics are exact by construction).
+
+v1 toolset: IPPP GOP, single slice, CAVLC, constant QP, I16x16 intra,
+P16x16 inter + P_Skip, deblocking off. (RC, multi-slice, CABAC, finer
+partitions land in later milestones — see encoder/README in docs.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bitstream import BitWriter, make_annexb_nal, NAL_SPS, NAL_PPS, NAL_IDR, NAL_SLICE
+from ..decoder.framedata import FrameSymbols
+from ..decoder.mvpred import MvContext, ensure_motion_grids
+from ..tables import CHROMA_QP_TABLE, ZIGZAG_4x4
+from ..tables.cavlc import CBP_INTER_INV
+from .cavlc_enc import write_residual_block
+from .headers import write_pps, write_slice_header, write_sps
+
+
+@dataclass
+class EncoderConfig:
+    width: int = 0
+    height: int = 0
+    qp: int = 26
+    idr_interval: int = 0        # 0 = only first frame is IDR
+    profile_idc: int = 66
+    level_idc: int = 31
+    log2_max_frame_num: int = 8
+    num_ref_frames: int = 1
+    entropy_cabac: bool = False
+    pic_init_qp: int = 26
+    chroma_qp_offset: int = 0
+    search_range: int = 8
+    use_jax: bool = True
+
+    @property
+    def mb_width(self):
+        return (self.width + 15) // 16
+
+    @property
+    def mb_height(self):
+        return (self.height + 15) // 16
+
+
+class _NcTracker:
+    """nzc bookkeeping for CAVLC nC contexts (single slice)."""
+
+    def __init__(self, mb_w, mb_h):
+        self.mb_w, self.mb_h = mb_w, mb_h
+        self.nzc_l = np.full((mb_h * 4, mb_w * 4), -1, np.int32)
+        self.nzc_c = np.full((2, mb_h * 2, mb_w * 2), -1, np.int32)
+
+    def nc_luma(self, gx, gy):
+        na = self.nzc_l[gy, gx - 1] if gx > 0 else -1
+        nb = self.nzc_l[gy - 1, gx] if gy > 0 else -1
+        return self._comb(na, nb)
+
+    def nc_chroma(self, comp, cx, cy):
+        na = self.nzc_c[comp, cy, cx - 1] if cx > 0 else -1
+        nb = self.nzc_c[comp, cy - 1, cx] if cy > 0 else -1
+        return self._comb(na, nb)
+
+    @staticmethod
+    def _comb(na, nb):
+        if na >= 0 and nb >= 0:
+            return (na + nb + 1) >> 1
+        if na >= 0:
+            return int(na)
+        if nb >= 0:
+            return int(nb)
+        return 0
+
+
+class H264Encoder:
+    def __init__(self, cfg: EncoderConfig):
+        self.cfg = cfg
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.ref = None  # (y, u, v) padded recon planes
+        self.frame_count = 0
+        self.qp = cfg.qp
+        self.qp_c = int(CHROMA_QP_TABLE[np.clip(self.qp + cfg.chroma_qp_offset, 0, 51)])
+
+    # ------------------------------------------------------------------
+    def headers_annexb(self) -> bytes:
+        return (make_annexb_nal(3, NAL_SPS, write_sps(self.cfg)) +
+                make_annexb_nal(3, NAL_PPS, write_pps(self.cfg)))
+
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
+        """Encode one frame; returns Annex-B bytes (headers on IDR)."""
+        cfg = self.cfg
+        from .core_np import pad_to_mb
+        yp = pad_to_mb(y)
+        up = pad_to_mb(u, 8)
+        vp = pad_to_mb(v, 8)
+        is_idr = self.frame_count == 0 or (
+            cfg.idr_interval > 0 and self.frame_count % cfg.idr_interval == 0)
+
+        if is_idr:
+            self.frame_num = 0
+            out_syms, rbsp = self._encode_i(yp, up, vp)
+            nal = make_annexb_nal(3, NAL_IDR, rbsp)
+            prefix = self.headers_annexb()
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+        else:
+            out_syms, rbsp = self._encode_p(yp, up, vp)
+            nal = make_annexb_nal(2, NAL_SLICE, rbsp)
+            prefix = b""
+        self.ref = (out_syms["recon_y"], out_syms["recon_u"], out_syms["recon_v"])
+        self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
+        self.frame_count += 1
+        return prefix + nal
+
+    # ------------------------------------------------------------------
+    def _encode_i(self, yp, up, vp):
+        cfg = self.cfg
+        from . import core_jax
+        out = core_jax.encode_i_frame(yp, up, vp, self.qp, self.qp_c,
+                                      mb_w=cfg.mb_width, mb_h=cfg.mb_height)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        rbsp = self._write_i_slice(out)
+        return out, rbsp
+
+    def _write_i_slice(self, out) -> bytes:
+        cfg = self.cfg
+        w = BitWriter()
+        write_slice_header(w, cfg, 2, self.frame_num, 0, self.qp, True,
+                           self.idr_pic_id, disable_deblock=1)
+        nc = _NcTracker(cfg.mb_width, cfg.mb_height)
+        for idx in range(cfg.mb_width * cfg.mb_height):
+            self._write_i16_mb(w, out, idx, nc, p_slice=False)
+        w.rbsp_trailing_bits()
+        return w.get_bytes()
+
+    def _write_i16_mb(self, w, out, idx, nc: _NcTracker, p_slice: bool):
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        luma_ac = out["luma_ac"][idx]          # [16,16] raster blk/coef
+        cbp_luma = 15 if luma_ac.any() else 0
+        cdc = out["chroma_dc"][idx]
+        cac = out["chroma_ac"][idx]
+        cbp_chroma = 2 if cac.any() else (1 if cdc.any() else 0)
+        mb_type = 1 + int(out["i16_mode"][idx]) + 4 * cbp_chroma + \
+            12 * (1 if cbp_luma else 0)
+        if p_slice:
+            mb_type += 5
+        w.ue(mb_type)
+        w.ue(int(out["chroma_mode"][idx]))
+        w.se(0)  # mb_qp_delta (I16 always codes it)
+        # luma DC: scan order over Hadamard block
+        dc = out["luma_dc"][idx].reshape(-1)[ZIGZAG_4x4]
+        gx, gy = mbx * 4, mby * 4
+        write_residual_block(w, dc, nc.nc_luma(gx, gy), 16)
+        # luma AC blocks in zscan order
+        from ..decoder.framedata import ZSCAN_TO_RASTER
+        for k in range(16):
+            r = int(ZSCAN_TO_RASTER[k])
+            bx, by = r % 4, r // 4
+            if cbp_luma:
+                coeffs = luma_ac[r][ZIGZAG_4x4][1:]
+                tc = write_residual_block(w, coeffs, nc.nc_luma(gx + bx, gy + by), 15)
+            else:
+                tc = 0
+            nc.nzc_l[gy + by, gx + bx] = tc
+        self._write_chroma_residual(w, out, idx, nc, cbp_chroma)
+
+    def _write_chroma_residual(self, w, out, idx, nc, cbp_chroma):
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        cx, cy = mbx * 2, mby * 2
+        if cbp_chroma:
+            for comp in range(2):
+                write_residual_block(w, out["chroma_dc"][idx, comp], -1, 4)
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for k in range(4):
+                    bx, by = k % 2, k // 2
+                    coeffs = out["chroma_ac"][idx, comp, k][ZIGZAG_4x4][1:]
+                    tc = write_residual_block(
+                        w, coeffs, nc.nc_chroma(comp, cx + bx, cy + by), 15)
+                    nc.nzc_c[comp, cy + by, cx + bx] = tc
+        else:
+            nc.nzc_c[:, cy:cy + 2, cx:cx + 2] = 0
+
+    # ------------------------------------------------------------------
+    def _encode_p(self, yp, up, vp):
+        cfg = self.cfg
+        from . import core_jax
+        out = core_jax.encode_p_frame(
+            yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
+            self.qp, self.qp_c, mb_w=cfg.mb_width, mb_h=cfg.mb_height,
+            sr=cfg.search_range)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        rbsp = self._write_p_slice(out)
+        return out, rbsp
+
+    def _write_p_slice(self, out) -> bytes:
+        cfg = self.cfg
+        mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        n_mb = mb_w * mb_h
+        w = BitWriter()
+        write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,
+                           0, disable_deblock=1)
+        nc = _NcTracker(mb_w, mb_h)
+        # MVP state via the decoder's machinery (exact by construction)
+        fs = FrameSymbols(mb_w, mb_h)
+        fs.slice_id[:] = 0
+        mvc = MvContext(fs, 0)
+        skip_run = 0
+        from ..decoder.framedata import ZSCAN_TO_RASTER
+        for idx in range(n_mb):
+            mbx, mby = idx % mb_w, idx // mb_w
+            gx, gy = mbx * 4, mby * 4
+            fs.gwritten[gy:gy + 4, gx:gx + 4] = False
+            mv = out["mv"][idx].astype(np.int32)
+            luma_ac = out["luma_ac"][idx]
+            cdc = out["chroma_dc"][idx]
+            cac = out["chroma_ac"][idx]
+            cbp_luma = 0
+            for b8 in range(4):
+                blocks = [(b8 // 2) * 8 + (b8 % 2) * 2 + (i // 2) * 4 + (i % 2)
+                          for i in range(4)]
+                if luma_ac[blocks].any():
+                    cbp_luma |= 1 << b8
+            cbp_chroma = 2 if cac.any() else (1 if cdc.any() else 0)
+            cbp = cbp_luma | (cbp_chroma << 4)
+            skip_mv = mvc.pred_skip_mv(gx, gy, idx)
+            if cbp == 0 and mv[0] == skip_mv[0] and mv[1] == skip_mv[1]:
+                skip_run += 1
+                mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+                nc.nzc_l[gy:gy + 4, gx:gx + 4] = 0
+                nc.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+                continue
+            w.ue(skip_run)
+            skip_run = 0
+            w.ue(0)  # mb_type P_L0_16x16
+            mvp = mvc.pred_mv(gx, gy, 4, 4, 0, 0, idx)
+            w.se(int(mv[0] - mvp[0]))
+            w.se(int(mv[1] - mvp[1]))
+            mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+            w.ue(int(CBP_INTER_INV[cbp]))
+            if cbp:
+                w.se(0)  # mb_qp_delta
+            # luma residual (only coded 8x8s)
+            for k in range(16):
+                r = int(ZSCAN_TO_RASTER[k])
+                bx, by = r % 4, r // 4
+                b8 = (by >> 1) * 2 + (bx >> 1)
+                if cbp_luma & (1 << b8):
+                    coeffs = luma_ac[r][ZIGZAG_4x4]
+                    tc = write_residual_block(w, coeffs,
+                                              nc.nc_luma(gx + bx, gy + by), 16)
+                else:
+                    tc = 0
+                nc.nzc_l[gy + by, gx + bx] = tc
+            self._write_chroma_residual(w, out, idx, nc, cbp_chroma)
+        if skip_run:
+            w.ue(skip_run)
+        w.rbsp_trailing_bits()
+        return w.get_bytes()
+
+
+def encode_yuv_file(cfg: EncoderConfig, yuv_path: str, n_frames: int,
+                    out_path: str | None = None) -> bytes:
+    """Encode a raw YUV420 file; returns the Annex-B stream."""
+    w, h = cfg.width, cfg.height
+    fsz = w * h * 3 // 2
+    enc = H264Encoder(cfg)
+    chunks = []
+    with open(yuv_path, "rb") as f:
+        for _ in range(n_frames):
+            raw = f.read(fsz)
+            if len(raw) < fsz:
+                break
+            y = np.frombuffer(raw[:w * h], np.uint8).reshape(h, w)
+            u = np.frombuffer(raw[w * h:w * h + w * h // 4], np.uint8).reshape(h // 2, w // 2)
+            v = np.frombuffer(raw[w * h + w * h // 4:], np.uint8).reshape(h // 2, w // 2)
+            chunks.append(enc.encode_frame(y, u, v))
+    stream = b"".join(chunks)
+    if out_path:
+        with open(out_path, "wb") as f:
+            f.write(stream)
+    return stream

@@ -1,0 +1,93 @@
+"""Parameter-set and slice-header bitstream writers (H.264 §7.3).
+
+Parity anchors: encoder au_set.cpp WelsWriteSpsSyntax:264 /
+WelsWritePpsSyntax:406; slice headers svc_encode_slice.cpp
+WelsSliceHeaderWrite.
+"""
+
+from __future__ import annotations
+
+from ..bitstream import BitWriter, make_annexb_nal, NAL_SPS, NAL_PPS
+
+
+def write_sps(cfg) -> bytes:
+    """Constrained Baseline SPS for the current config. Returns RBSP."""
+    w = BitWriter()
+    w.u(8, cfg.profile_idc)          # 66 baseline
+    w.flag(cfg.profile_idc == 66)    # constraint_set0 (baseline conform)
+    w.flag(True)                     # constraint_set1 (main-compatible CAVLC)
+    w.flag(False)                    # constraint_set2
+    w.flag(False)                    # constraint_set3
+    w.u(4, 0)                        # reserved_zero_4bits + ...
+    w.u(8, cfg.level_idc)
+    w.ue(0)                          # sps_id
+    w.ue(cfg.log2_max_frame_num - 4)
+    w.ue(2)                          # pic_order_cnt_type = 2 (IPPP, no B yet)
+    w.ue(cfg.num_ref_frames)
+    w.flag(False)                    # gaps_in_frame_num_value_allowed
+    w.ue(cfg.mb_width - 1)
+    w.ue(cfg.mb_height - 1)
+    w.flag(True)                     # frame_mbs_only
+    w.flag(True)                     # direct_8x8_inference
+    crop_r = cfg.mb_width * 16 - cfg.width
+    crop_b = cfg.mb_height * 16 - cfg.height
+    if crop_r or crop_b:
+        w.flag(True)
+        w.ue(0)
+        w.ue(crop_r // 2)
+        w.ue(0)
+        w.ue(crop_b // 2)
+    else:
+        w.flag(False)
+    w.flag(False)                    # vui_parameters_present
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
+
+
+def write_pps(cfg) -> bytes:
+    w = BitWriter()
+    w.ue(0)                          # pps_id
+    w.ue(0)                          # sps_id
+    w.flag(cfg.entropy_cabac)        # entropy_coding_mode
+    w.flag(False)                    # pic_order_present
+    w.ue(0)                          # num_slice_groups - 1
+    w.ue(0)                          # num_ref_idx_l0_active - 1
+    w.ue(0)                          # num_ref_idx_l1_active - 1
+    w.flag(False)                    # weighted_pred
+    w.u(2, 0)                        # weighted_bipred_idc
+    w.se(cfg.pic_init_qp - 26)
+    w.se(0)                          # pic_init_qs
+    w.se(cfg.chroma_qp_offset)
+    w.flag(True)                     # deblocking_filter_control_present
+    w.flag(False)                    # constrained_intra_pred
+    w.flag(False)                    # redundant_pic_cnt_present
+    w.rbsp_trailing_bits()
+    return w.get_bytes()
+
+
+def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
+                       first_mb: int, qp: int, idr: bool, idr_pic_id: int,
+                       disable_deblock: int) -> None:
+    """slice_type: 2=I, 0=P (all-slices-same convention uses +5)."""
+    w.ue(first_mb)
+    w.ue(slice_type + 5)             # e.g. 7 = I (all slices), 5 = P
+    w.ue(0)                          # pps_id
+    w.u(cfg.log2_max_frame_num, frame_num)
+    if idr:
+        w.ue(idr_pic_id)
+    # poc type 2: nothing
+    if slice_type == 0:              # P
+        w.flag(False)                # num_ref_idx_active_override
+        w.flag(False)                # ref_pic_list_modification_flag_l0
+    # dec_ref_pic_marking (every frame is a reference in IPPP)
+    if idr:
+        w.flag(False)                # no_output_of_prior_pics
+        w.flag(False)                # long_term_reference_flag
+    else:
+        w.flag(False)                # adaptive_ref_pic_marking_mode
+    w.se(qp - cfg.pic_init_qp)       # slice_qp_delta
+    # deblocking control (pps.deblocking_filter_control_present = 1)
+    w.ue(disable_deblock)
+    if disable_deblock != 1:
+        w.se(0)                      # alpha offset / 2
+        w.se(0)                      # beta offset / 2
