@@ -435,10 +435,16 @@ def _mc_chroma_batch(refc, px, py, fx, fy, size):
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
-                   mb_w: int, mb_h: int, sr: int = 8):
+                   mb_w: int, mb_h: int, sr: int = 8, row_off=0):
     """Batched P-frame encode: full-pel scan ME + half/quarter refine,
     P16x16-only partitions, intra fallback handled by the caller via the
     returned SAD costs. Returns symbol tensors + inter recon planes.
+
+    Band mode (slice-parallel): y/u/v may be a horizontal band of the
+    frame while ref_* are FULL reference planes; `row_off` (may be
+    traced, e.g. from lax.axis_index) is the band's top luma row. MC may
+    then reach outside the band, matching H.264 slice semantics (inter
+    prediction crosses slice boundaries; intra/entropy do not).
     """
     n_mb = mb_w * mb_h
     H, W = y.shape
@@ -446,6 +452,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     B, Hh, J = _halfpel_planes(ry)
     ru = pad_ref(ref_u)
     rv = pad_ref(ref_v)
+    row_off = jnp.asarray(row_off, jnp.int32)
 
     src32 = y.astype(jnp.int32)
 
@@ -457,7 +464,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     def scan_body(carry, off):
         best_cost, best_mv = carry
         dy, dx = off[0], off[1]
-        shifted = jax.lax.dynamic_slice(ry, (PAD + dy, PAD + dx), (H, W))
+        shifted = jax.lax.dynamic_slice(ry, (PAD + row_off + dy, PAD + dx),
+                                        (H, W))
         sad = jnp.abs(src32 - shifted.astype(jnp.int32))
         mb_sad = sad.reshape(mb_h, 16, mb_w, 16).sum((1, 3)).reshape(-1)
         better = mb_sad < best_cost
@@ -472,7 +480,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     # ---- sub-pel refinement: evaluate the 9 half then 9 quarter candidates
     mb_ids = jnp.arange(n_mb)
     mb_px = (mb_ids % mb_w) * 16
-    mb_py = (mb_ids // mb_w) * 16
+    mb_py = (mb_ids // mb_w) * 16 + row_off
     src_mb = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n_mb, 16, 16).astype(jnp.int32)
 
     def eval_qpel(mvq):
@@ -519,7 +527,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
 
     # chroma MC + transform
     cpx = (mb_ids % mb_w) * 8
-    cpy = (mb_ids // mb_w) * 8
+    cpy = (mb_ids // mb_w) * 8 + (row_off >> 1)
     cfx = (best_mv[:, 0] % 8).astype(jnp.int32)
     cfy = (best_mv[:, 1] % 8).astype(jnp.int32)
     cix = PAD + cpx + (best_mv[:, 0] >> 3)

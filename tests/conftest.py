@@ -10,6 +10,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The env var alone is not enough when a platform plugin (e.g. a TPU
+# tunnel) force-registers itself at import; config.update wins.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
