@@ -27,6 +27,9 @@ from ..ops.transform import (dct4x4, dequant4x4, hadamard4x4, idct4x4_add,
                              luma_dc_dequant_ihadamard,
                              chroma_dc_dequant_ihadamard, quant4x4, quant_dc,
                              ihadamard4x4, wrap_i16)
+from ..ops.transform_soa import (chroma_dc_dequant_ihadamard_soa, dct4x4_soa,
+                                 dequant4x4_soa, hadamard2x2_soa,
+                                 idct4x4_add_soa, quant4x4_soa, quant_dc_soa)
 
 I16_DC, I16_V, I16_H, I16_P = 2, 0, 1, 3
 
@@ -337,36 +340,6 @@ def encode_i_frame(y, u, v, qp, qp_c, mb_w: int, mb_h: int,
 # ---------------------------------------------------------------------------
 # Motion estimation + P frame
 # ---------------------------------------------------------------------------
-def _halfpel_planes(ref):
-    """6-tap half-pel planes for a full padded plane.
-
-    ref: [H, W] uint8 (already border-padded by PAD).
-    Returns (b, h, j) uint8 planes of the same size (b: half-x,
-    h: half-y, j: center), spec §8.4.2.2.1 semantics per pixel.
-    """
-    r = ref.astype(jnp.int32)
-    W = r.shape[-1]
-    H = r.shape[-2]
-
-    def shift_x(a, k):
-        return jnp.roll(a, -k, axis=-1)
-
-    def shift_y(a, k):
-        return jnp.roll(a, -k, axis=-2)
-
-    # b1[x] = r[x-2] -5r[x-1] +20r[x] +20r[x+1] -5r[x+2] + r[x+3]
-    b1 = (shift_x(r, -2) - 5 * shift_x(r, -1) + 20 * r + 20 * shift_x(r, 1)
-          - 5 * shift_x(r, 2) + shift_x(r, 3))
-    b = jnp.clip((b1 + 16) >> 5, 0, 255)
-    h1 = (shift_y(r, -2) - 5 * shift_y(r, -1) + 20 * r + 20 * shift_y(r, 1)
-          - 5 * shift_y(r, 2) + shift_y(r, 3))
-    h = jnp.clip((h1 + 16) >> 5, 0, 255)
-    j1 = (shift_y(b1, -2) - 5 * shift_y(b1, -1) + 20 * b1 + 20 * shift_y(b1, 1)
-          - 5 * shift_y(b1, 2) + shift_y(b1, 3))
-    j = jnp.clip((j1 + 512) >> 10, 0, 255)
-    return b.astype(jnp.uint8), h.astype(jnp.uint8), j.astype(jnp.uint8)
-
-
 PAD = 24  # reference border padding (>= search range + filter taps)
 
 
@@ -375,70 +348,101 @@ def pad_ref(plane):
     return jnp.pad(plane, PAD, mode="edge")
 
 
-def _subpel_gather(G, B, Hh, J, px, py, fx, fy, size):
-    """Gather a size x size prediction block for each MB.
+def _extract_patches(plane, size, stride, out_h, out_w):
+    """im2col: [H,W] -> [out_h*out_w, size, size] windows at the given
+    stride, starting at (0,0). Uses conv_general_dilated_patches so XLA
+    lowers it to efficient tiled copies rather than scalar gathers."""
+    p = jax.lax.conv_general_dilated_patches(
+        plane[None, None].astype(jnp.float32),
+        filter_shape=(size, size), window_strides=(stride, stride),
+        padding="VALID")  # [1, size*size, out_h, out_w]
+    return p.reshape(size * size, out_h * out_w).T.reshape(-1, size, size)
 
-    px/py: [N] integer top-left positions in PADDED coords;
-    fx/fy: [N] quarter-pel fractions 0..3. Uses the quarter-pel
-    averaging rules (Table 8-12) built from the 4 plane bank.
+
+def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
+    """MXU full search: SSD(mb, dy, dx) for all offsets in [-sr, sr]^2
+    computed as  sum(src^2) - 2*corr + sum(ref^2)  where `corr` is a
+    grouped conv (each MB's source block is the filter for its own
+    search window). Replaces the reference's per-MB diamond/cross search
+    (svc_motion_estimate.cpp:170) with an exhaustive batched search —
+    on the MXU the exhaustive version is cheaper than branching.
+
+    Returns (cost [n_mb], mv [n_mb, 2] full-pel).
     """
-    n = px.shape[0]
-    off = jnp.arange(size)
+    n_mb = mb_w * mb_h
+    S = 16 + 2 * sr
+    n_off = 2 * sr + 1
+    # search windows: top-left of MB (my,mx) window at padded coords
+    # (row_off + my*16 - sr + PAD, mx*16 - sr + PAD)
+    region = jax.lax.dynamic_slice(
+        ry, (PAD - sr + row_off, PAD - sr),
+        (mb_h * 16 + 2 * sr, mb_w * 16 + 2 * sr)).astype(jnp.float32)
+    win = _extract_patches(region, S, 16, mb_h, mb_w)      # [n_mb,S,S] f32
+    src = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(
+        n_mb, 16, 16).astype(jnp.float32)
+    # cross-correlation via grouped conv: one filter (= src MB) per group
+    corr = jax.lax.conv_general_dilated(
+        win.reshape(1, n_mb, S, S), src.reshape(n_mb, 1, 16, 16),
+        window_strides=(1, 1), padding="VALID",
+        feature_group_count=n_mb,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)[0]             # [n_mb,n_off,n_off]
+    # sum(ref^2) over every 16x16 sub-window: separable box filter
+    ones16 = jnp.ones((1, 1, 1, 16), jnp.float32)
+    sq = (region * region)[None, None]
+    bx = jax.lax.conv_general_dilated(sq, ones16, (1, 1), "VALID",
+                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    box = jax.lax.conv_general_dilated(
+        bx, ones16.reshape(1, 1, 16, 1), (1, 1), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+    refsq = _extract_patches(box, n_off, 16, mb_h, mb_w)   # [n_mb,n_off,n_off]
+    srcsq = (src * src).sum((-1, -2))
+    ssd = srcsq[:, None, None] - 2.0 * corr + refsq
+    # small-MV bias: penalize long vectors (proxy for MVD bits)
+    dxs = jnp.abs(jnp.arange(-sr, sr + 1, dtype=jnp.float32))
+    pen = lam * (dxs[None, :] + dxs[:, None]) * 4.0
+    cost = ssd + pen[None]
+    flat = cost.reshape(n_mb, -1)
+    best = jnp.argmin(flat, axis=1)
+    best_cost = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+    mv_y = (best // n_off).astype(jnp.int32) - sr
+    mv_x = (best % n_off).astype(jnp.int32) - sr
+    return best_cost, jnp.stack([mv_x, mv_y], -1)
 
-    def gat(plane, ox, oy):
-        iy = (py + oy)[:, None] + off[None, :]
-        ix = (px + ox)[:, None] + off[None, :]
-        return plane[iy[:, :, None], ix[:, None, :]].astype(jnp.int32)
 
-    # component planes at integer offsets
-    g00 = gat(G, 0, 0)
-    g10 = gat(G, 1, 0)
-    g01 = gat(G, 0, 1)
-    b00 = gat(B, 0, 0)
-    b01 = gat(B, 0, 1)
-    h00 = gat(Hh, 0, 0)
-    h10 = gat(Hh, 1, 0)
-    j00 = gat(J, 0, 0)
+def _onehot_window_conv(region, mb_w, mb_h, patch, out, n_off, oh_idx_y,
+                        oh_idx_x):
+    """Gather-free per-MB window extraction via a one-hot grouped conv.
 
-    def avg(a, b):
-        return (a + b + 1) >> 1
-
-    # build all 16 fractional predictions then select (cheap: reuse terms)
-    # yf rows of Table 8-12
-    row0 = jnp.stack([g00, avg(g00, b00), b00, avg(g10, b00)], 0)
-    row1 = jnp.stack([avg(g00, h00), avg(b00, h00), avg(b00, j00),
-                      avg(b00, h10)], 0)
-    row2 = jnp.stack([h00, avg(h00, j00), j00, avg(j00, h10)], 0)
-    row3 = jnp.stack([avg(g01, h00), avg(h00, b01), avg(j00, b01),
-                      avg(h10, b01)], 0)
-    allp = jnp.stack([row0, row1, row2, row3], 0)  # [yf, xf, N, s, s]
-    sel = allp[fy, fx, jnp.arange(n)]
-    return sel
-
-
-def _mc_chroma_batch(refc, px, py, fx, fy, size):
-    """Bilinear chroma MC: px/py integer in padded chroma coords,
-    fx/fy 0..7."""
-    off = jnp.arange(size + 1)
-    iy = py[:, None] + off[None, :]
-    ix = px[:, None] + off[None, :]
-    W = refc[iy[:, :, None], ix[:, None, :]].astype(jnp.int32)
-    A = W[:, :size, :size]
-    B = W[:, :size, 1:]
-    C = W[:, 1:, :size]
-    D = W[:, 1:, 1:]
-    fx = fx[:, None, None]
-    fy = fy[:, None, None]
-    return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
-            + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    region: [mb_h*16 + patch-16, mb_w*16 + patch-16] f32 — padded plane
+    section whose stride-16 patches of size `patch` each cover every
+    possible window position for one MB.
+    oh_idx_y/x: [n_mb] int — per-MB window offset index in [0, n_off).
+    Returns [n_mb, out, out] f32 windows. Runs on the MXU: the per-group
+    filter is a one-hot over the n_off x n_off offset grid, so the conv
+    *selects* each MB's window. This replaces a scalar gather (50ms at
+    720p) with a ~1ms grouped conv.
+    """
+    n_mb = mb_w * mb_h
+    win = _extract_patches(region, patch, 16, mb_h, mb_w)   # [n_mb,S,S]
+    oh = (jnp.zeros((n_mb, n_off * n_off), jnp.float32)
+          .at[jnp.arange(n_mb), oh_idx_y * n_off + oh_idx_x].set(1.0)
+          .reshape(n_mb, 1, n_off, n_off))
+    return jax.lax.conv_general_dilated(
+        win.reshape(1, n_mb, patch, patch), oh,
+        window_strides=(1, 1), padding="VALID",
+        feature_group_count=n_mb,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32)[0]
 
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
                    mb_w: int, mb_h: int, sr: int = 8, row_off=0):
-    """Batched P-frame encode: full-pel scan ME + half/quarter refine,
-    P16x16-only partitions, intra fallback handled by the caller via the
-    returned SAD costs. Returns symbol tensors + inter recon planes.
+    """Batched P-frame encode: MXU full-pel SSD search + windowed
+    quarter-pel refine, P16x16-only partitions, intra fallback handled
+    by the caller via the returned costs. Returns symbol tensors +
+    inter recon planes.
 
     Band mode (slice-parallel): y/u/v may be a horizontal band of the
     frame while ref_* are FULL reference planes; `row_off` (may be
@@ -449,128 +453,190 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     n_mb = mb_w * mb_h
     H, W = y.shape
     ry = pad_ref(ref_y)
-    B, Hh, J = _halfpel_planes(ry)
     ru = pad_ref(ref_u)
     rv = pad_ref(ref_v)
     row_off = jnp.asarray(row_off, jnp.int32)
 
-    src32 = y.astype(jnp.int32)
+    lam = jnp.maximum(jnp.asarray(qp, jnp.float32) - 12.0, 1.0)
+    int_cost, int_mv = _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam)
 
-    # ---- integer full search over (2sr+1)^2 offsets ----
-    offsets = jnp.stack(jnp.meshgrid(jnp.arange(-sr, sr + 1),
-                                     jnp.arange(-sr, sr + 1),
-                                     indexing="ij"), -1).reshape(-1, 2)
-
-    def scan_body(carry, off):
-        best_cost, best_mv = carry
-        dy, dx = off[0], off[1]
-        shifted = jax.lax.dynamic_slice(ry, (PAD + row_off + dy, PAD + dx),
-                                        (H, W))
-        sad = jnp.abs(src32 - shifted.astype(jnp.int32))
-        mb_sad = sad.reshape(mb_h, 16, mb_w, 16).sum((1, 3)).reshape(-1)
-        better = mb_sad < best_cost
-        best_cost = jnp.where(better, mb_sad, best_cost)
-        best_mv = jnp.where(better[:, None],
-                            jnp.stack([dx, dy])[None, :], best_mv)
-        return (best_cost, best_mv), None
-
-    init = (jnp.full(n_mb, 1 << 30, jnp.int32), jnp.zeros((n_mb, 2), jnp.int32))
-    (int_cost, int_mv), _ = jax.lax.scan(scan_body, init, offsets)
-
-    # ---- sub-pel refinement: evaluate the 9 half then 9 quarter candidates
-    mb_ids = jnp.arange(n_mb)
-    mb_px = (mb_ids % mb_w) * 16
-    mb_py = (mb_ids // mb_w) * 16 + row_off
     src_mb = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n_mb, 16, 16).astype(jnp.int32)
 
-    def eval_qpel(mvq):
-        """mvq: [N,2] quarter-pel MV; returns SAD [N]."""
-        fx = (mvq[:, 0] % 4).astype(jnp.int32)
-        fy = (mvq[:, 1] % 4).astype(jnp.int32)
-        ix = PAD + mb_px + (mvq[:, 0] >> 2)
-        iy = PAD + mb_py + (mvq[:, 1] >> 2)
-        pred = _subpel_gather(ry, B, Hh, J, ix, iy, fx, fy, 16)
-        return jnp.abs(src_mb - pred).sum((-1, -2))
+    # ---- quarter-pel refinement over the full ±3 quarter box ----
+    # One 24x24 luma window per MB around its integer best, extracted by
+    # the one-hot conv; half-pel values are derived INSIDE the window by
+    # the 6-tap filter (no full-plane b/h/j, no gathers). All refine
+    # arithmetic runs in SoA layout [y, x, n_mb] so the MB axis fills
+    # the 128 vector lanes.
+    n_off = 2 * sr + 1
+    patch = 24 + 2 * sr
+    region = jax.lax.dynamic_slice(
+        ry, (PAD - sr - 3 + row_off, PAD - sr - 3),
+        (mb_h * 16 + 8 + 2 * sr, mb_w * 16 + 8 + 2 * sr)).astype(jnp.float32)
+    # window k covers int position (mv - 3 + k) relative to the MB
+    w24 = _onehot_window_conv(region, mb_w, mb_h, patch, 24, n_off,
+                              int_mv[:, 1] + sr, int_mv[:, 0] + sr)
+    # int32 throughout: the i16 variant miscompiles the 6-tap on the
+    # axon TPU platform (one pred row corrupts); revisit with Pallas
+    G = w24.astype(jnp.int32).transpose(1, 2, 0)            # [24,24,N]
 
-    best_mv = int_mv * 4
-    best_cost = int_cost
-    for step in (2, 1):
-        cands = []
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                if dx == 0 and dy == 0:
-                    continue
-                cands.append(jnp.array([dx, dy], jnp.int32))
-        for c in cands:
-            mvq = best_mv + c[None, :]
-            # clamp so padded access stays in range
-            mvq = jnp.clip(mvq, -4 * (sr + 2), 4 * (sr + 2))
-            cost = eval_qpel(mvq)
-            better = cost < best_cost
-            best_cost = jnp.where(better, cost, best_cost)
-            best_mv = jnp.where(better[:, None], mvq, best_mv)
+    # 6-tap half-pel inside the window (spec 8.4.2.2.1). Alignment:
+    # B[y,x] = half-pel between x and x+1 (valid x in [2,20]);
+    # H[y,x] between y and y+1; J both. Stored full-size, zero margins.
+    def tap6(a, axis):
+        def sh(k):
+            lo = [0, 0]
+            lo[axis] = k + 2
+            hi = [a.shape[0], a.shape[1]]
+            hi[axis] = k + 2 + (a.shape[axis] - 5)
+            return jax.lax.slice(a, (lo[0], lo[1], 0), (hi[0], hi[1], n_mb))
+        return (sh(-2) - 5 * sh(-1) + 20 * sh(0) + 20 * sh(1)
+                - 5 * sh(2) + sh(3))
 
-    # ---- final prediction + transform ----
-    fx = (best_mv[:, 0] % 4).astype(jnp.int32)
-    fy = (best_mv[:, 1] % 4).astype(jnp.int32)
-    ix = PAD + mb_px + (best_mv[:, 0] >> 2)
-    iy = PAD + mb_py + (best_mv[:, 1] >> 2)
-    pred_y = _subpel_gather(ry, B, Hh, J, ix, iy, fx, fy, 16)
+    b1 = tap6(G, 1)                                          # [24,19,N] at x=2..20
+    Bw = jnp.pad(jnp.clip((b1 + 16) >> 5, 0, 255), ((0, 0), (2, 3), (0, 0)))
+    h1 = tap6(G, 0)                                          # [19,24,N] at y=2..20
+    Hw = jnp.pad(jnp.clip((h1 + 16) >> 5, 0, 255), ((2, 3), (0, 0), (0, 0)))
+    j1 = tap6(b1, 0)                                         # [19,19,N]
+    Jw = jnp.pad(jnp.clip((j1 + 512) >> 10, 0, 255),
+                 ((2, 3), (2, 3), (0, 0)))
 
-    res = src_mb - pred_y
-    blocks = _mb_blocks(res)
-    coef = dct4x4(blocks)
-    lev = quant4x4(coef, qp, False)
-    deq = dequant4x4(lev, qp)
-    rec_blocks = idct4x4_add(_mb_blocks(pred_y), deq)
-    rec_y_mb = _blocks_mb(rec_blocks)
+    def sub_pred(qx, qy):
+        """[16,16,N] prediction for quarter offset (qx,qy) vs int best;
+        all slice indices static."""
+        sx, fx = 3 + (qx >> 2), qx & 3   # Python >> floors negatives
+        sy, fy = 3 + (qy >> 2), qy & 3
 
-    # chroma MC + transform
-    cpx = (mb_ids % mb_w) * 8
-    cpy = (mb_ids // mb_w) * 8 + (row_off >> 1)
+        def sl(wp, ox, oy):
+            return jax.lax.slice(wp, (sy + oy, sx + ox, 0),
+                                 (sy + oy + 16, sx + ox + 16, n_mb))
+
+        def avg(a, b):
+            return (a + b + 1) >> 1
+        g00 = sl(G, 0, 0)
+        if fx == 0 and fy == 0:
+            return g00
+        b00 = sl(Bw, 0, 0)
+        h00 = sl(Hw, 0, 0)
+        j00 = sl(Jw, 0, 0)
+        if fy == 0:
+            return [None, avg(g00, b00), b00, avg(sl(G, 1, 0), b00)][fx]
+        if fy == 1:
+            return [avg(g00, h00), avg(b00, h00), avg(b00, j00),
+                    avg(b00, sl(Hw, 1, 0))][fx]
+        if fy == 2:
+            return [h00, avg(h00, j00), j00, avg(j00, sl(Hw, 1, 0))][fx]
+        return [avg(sl(G, 0, 1), h00), avg(h00, sl(Bw, 0, 1)),
+                avg(j00, sl(Bw, 0, 1)), avg(sl(Hw, 1, 0), sl(Bw, 0, 1))][fx]
+
+    src_soa = y.reshape(mb_h, 16, mb_w, 16).transpose(1, 3, 0, 2).reshape(
+        16, 16, n_mb).astype(jnp.int32)                      # [16,16,N]
+    cands = [(qx, qy) for qy in range(-3, 4) for qx in range(-3, 4)]
+    best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)
+    best_q = jnp.zeros(n_mb, jnp.int32)
+    pred_soa = src_soa
+    for k, (qx, qy) in enumerate(cands):
+        p = sub_pred(qx, qy)
+        sad = jnp.abs(src_soa - p).sum((0, 1))
+        c = sad + (lam * (abs(qx) + abs(qy))).astype(jnp.int32)
+        better = c < best_cost
+        best_cost = jnp.where(better, c, best_cost)
+        best_q = jnp.where(better, k, best_q)
+        pred_soa = jnp.where(better[None, None, :], p, pred_soa)
+    coff = jnp.asarray(cands, jnp.int32)                       # [49,2]
+    best_mv = int_mv * 4 + coff[best_q]
+
+    # ---- luma transform path, all SoA [4, 4, 16 blocks, N] ----
+    def mb16_to_blocks(x):                                   # [16,16,N] ->
+        return x.reshape(4, 4, 4, 4, n_mb).transpose(1, 3, 0, 2, 4).reshape(
+            4, 4, 16, n_mb)                                  # [r,c,b,N]
+
+    srcb = mb16_to_blocks(src_soa).astype(jnp.int32)
+    predb = mb16_to_blocks(pred_soa).astype(jnp.int32)
+    coef = dct4x4_soa(srcb - predb)
+    lev = quant4x4_soa(coef, qp, False)
+    deq = dequant4x4_soa(lev, qp)
+    recb = idct4x4_add_soa(predb, deq)                       # [4,4,16,N]
+
+    rec_y_plane = recb.reshape(4, 4, 4, 4, mb_h, mb_w).transpose(
+        4, 2, 0, 5, 3, 1).reshape(H, W).astype(jnp.uint8)
+
+    # ---- chroma MC (one-hot-conv windows + SoA bilinear) ----
     cfx = (best_mv[:, 0] % 8).astype(jnp.int32)
     cfy = (best_mv[:, 1] % 8).astype(jnp.int32)
-    cix = PAD + cpx + (best_mv[:, 0] >> 3)
-    ciy = PAD + cpy + (best_mv[:, 1] >> 3)
-    src_u = u.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n_mb, 8, 8).astype(jnp.int32)
-    src_v = v.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(n_mb, 8, 8).astype(jnp.int32)
-    pred_u = _mc_chroma_batch(ru, cix, ciy, cfx, cfy, 8)
-    pred_v = _mc_chroma_batch(rv, cix, ciy, cfx, cfy, 8)
+    cmx = best_mv[:, 0] >> 3
+    cmy = best_mv[:, 1] >> 3
+    # integer chroma offset range for |mv| <= 4*sr+3 quarter-pel
+    clo = -((4 * sr + 3 + 7) >> 3)
+    chi = (4 * sr + 3) >> 3
+    c_noff = chi - clo + 1
+    c_patch = 10 + c_noff - 1
+
+    def chroma_pred(refc):
+        reg = jax.lax.dynamic_slice(
+            refc, (PAD + (row_off >> 1) + clo, PAD + clo),
+            (mb_h * 8 + c_patch - 8, mb_w * 8 + c_patch - 8)).astype(jnp.float32)
+        # chroma patches tile at stride 8, not 16 — reuse the extractor
+        p = jax.lax.conv_general_dilated_patches(
+            reg[None, None], filter_shape=(c_patch, c_patch),
+            window_strides=(8, 8), padding="VALID")
+        win = p.reshape(c_patch * c_patch, n_mb).T.reshape(n_mb, c_patch, c_patch)
+        oh = (jnp.zeros((n_mb, c_noff * c_noff), jnp.float32)
+              .at[jnp.arange(n_mb), (cmy - clo) * c_noff + (cmx - clo)].set(1.0)
+              .reshape(n_mb, 1, c_noff, c_noff))
+        w10 = jax.lax.conv_general_dilated(
+            win.reshape(1, n_mb, c_patch, c_patch), oh, (1, 1), "VALID",
+            feature_group_count=n_mb,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32)[0]           # [N,10,10]
+        Wn = w10.astype(jnp.int32).transpose(1, 2, 0)        # [10,10,N]
+        A = Wn[0:8, 0:8]
+        Bq = Wn[0:8, 1:9]
+        C = Wn[1:9, 0:8]
+        D = Wn[1:9, 1:9]
+        fx = cfx[None, None, :].astype(jnp.int32)
+        fy = cfy[None, None, :].astype(jnp.int32)
+        return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bq
+                + (8 - fx) * fy * C + fx * fy * D + 32) >> 6  # [8,8,N]
+
+    def chroma_soa(plane):                                   # [h,w] -> [8,8,N]
+        return plane.reshape(mb_h, 8, mb_w, 8).transpose(1, 3, 0, 2).reshape(
+            8, 8, n_mb).astype(jnp.int32)
+
+    def mb8_to_blocks(x):                                    # [8,8,N] ->
+        return x.reshape(2, 4, 2, 4, n_mb).transpose(1, 3, 0, 2, 4).reshape(
+            4, 4, 4, n_mb)                                   # [r,c,b,N]
 
     def chroma_tx(src_c, pred_c):
-        resc = src_c - pred_c
-        cb = _chroma_blocks(resc)
-        cf = dct4x4(cb)
-        dcs = cf[..., 0, 0].reshape(-1, 2, 2)
-        dc_lev = quant_dc(_had2x2(dcs), qp_c, False)
-        ac_lev = quant4x4(cf, qp_c, False)
-        ac_lev = ac_lev.at[..., 0, 0].set(0)
-        rec_dc = chroma_dc_dequant_ihadamard(dc_lev, qp_c)
-        dq = dequant4x4(ac_lev, qp_c)
-        dq = dq.at[..., 0, 0].set(rec_dc.reshape(-1, 4))
-        rec = idct4x4_add(_chroma_blocks(pred_c), dq)
-        return dc_lev.reshape(-1, 4), ac_lev.reshape(-1, 4, 16), _chroma_mb(rec)
+        cf = dct4x4_soa(mb8_to_blocks(src_c) - mb8_to_blocks(pred_c))
+        dcs = cf[0, 0].reshape(2, 2, n_mb)
+        dc_lev = quant_dc_soa(hadamard2x2_soa(dcs), qp_c, False)
+        ac_lev = quant4x4_soa(cf, qp_c, False)
+        ac_lev = ac_lev.at[0, 0].set(0)
+        rec_dc = chroma_dc_dequant_ihadamard_soa(dc_lev, qp_c)
+        dq = dequant4x4_soa(ac_lev, qp_c)
+        dq = dq.at[0, 0].set(rec_dc.reshape(4, n_mb))
+        rec = idct4x4_add_soa(mb8_to_blocks(pred_c), dq)     # [4,4,4,N]
+        plane = rec.reshape(4, 4, 2, 2, mb_h, mb_w).transpose(
+            4, 2, 0, 5, 3, 1).reshape(H // 2, W // 2).astype(jnp.uint8)
+        # symbol tensors in the host writer's AoS layout
+        dc_out = dc_lev.reshape(4, n_mb).T                   # [N,4]
+        ac_out = ac_lev.transpose(3, 2, 0, 1).reshape(n_mb, 4, 16)
+        return dc_out, ac_out, plane
 
-    dcu, acu, rec_u_mb = chroma_tx(src_u, pred_u)
-    dcv, acv, rec_v_mb = chroma_tx(src_v, pred_v)
-
-    # assemble recon planes from per-MB tiles
-    def tiles_to_plane(tiles, size, ph, pw):
-        return tiles.reshape(mb_h, mb_w, size, size).transpose(0, 2, 1, 3).reshape(ph, pw)
-
-    rec_y_plane = tiles_to_plane(rec_y_mb.astype(jnp.uint8), 16, H, W)
-    rec_u_plane = tiles_to_plane(rec_u_mb.astype(jnp.uint8), 8, H // 2, W // 2)
-    rec_v_plane = tiles_to_plane(rec_v_mb.astype(jnp.uint8), 8, H // 2, W // 2)
+    dcu, acu, rec_u_plane = chroma_tx(chroma_soa(u), chroma_pred(ru))
+    dcv, acv, rec_v_plane = chroma_tx(chroma_soa(v), chroma_pred(rv))
 
     # intra-vs-inter cost: simple DC-pred intra SAD proxy
-    mb_mean = src_mb.mean((-1, -2)).astype(jnp.int32)
-    intra_sad = jnp.abs(src_mb - mb_mean[:, None, None]).sum((-1, -2))
+    mb_mean = (src_soa.astype(jnp.int32).sum((0, 1)) + 128) >> 8
+    intra_sad = jnp.abs(src_soa.astype(jnp.int32)
+                        - mb_mean[None, None, :]).sum((0, 1))
 
     return {
         "mv": best_mv,
         "inter_cost": best_cost,
         "intra_cost_proxy": intra_sad,
-        "luma_ac": lev.reshape(n_mb, 16, 16),
+        "luma_ac": lev.transpose(3, 2, 0, 1).reshape(n_mb, 16, 16),
         "chroma_dc": jnp.stack([dcu, dcv], 1),
         "chroma_ac": jnp.stack([acu, acv], 1),
         "recon_y": rec_y_plane,

@@ -21,16 +21,19 @@ import numpy as np
 
 from ..tables import DEQUANT_4x4, QUANT_MF_4x4
 
-_CF = jnp.asarray(np.array([[1, 1, 1, 1],
-                            [2, 1, -1, -2],
-                            [1, -1, -1, 1],
-                            [1, -2, 2, -1]], dtype=np.int32))
-_H4 = jnp.asarray(np.array([[1, 1, 1, 1],
-                            [1, 1, -1, -1],
-                            [1, -1, -1, 1],
-                            [1, -1, 1, -1]], dtype=np.int32))
-_DEQUANT_4x4_J = jnp.asarray(DEQUANT_4x4.reshape(52, 4, 4))
-_QUANT_MF_J = jnp.asarray(QUANT_MF_4x4.reshape(52, 4, 4))
+_CF = np.array([[1, 1, 1, 1],
+                [2, 1, -1, -2],
+                [1, -1, -1, 1],
+                [1, -2, 2, -1]], dtype=np.int32)
+_H4 = np.array([[1, 1, 1, 1],
+                [1, 1, -1, -1],
+                [1, -1, -1, 1],
+                [1, -1, 1, -1]], dtype=np.int32)
+# numpy (not jnp) module constants: closure-captured device
+# arrays force a per-dispatch constant transfer on some
+# platforms; XLA embeds numpy constants at compile time.
+_DEQUANT_4x4_J = DEQUANT_4x4.reshape(52, 4, 4)
+_QUANT_MF_J = QUANT_MF_4x4.reshape(52, 4, 4)
 
 
 def wrap_i16(x):
@@ -57,7 +60,7 @@ def quant4x4(coef, qp, intra: bool):
     qp = jnp.asarray(qp, jnp.int32)
     qbits = 15 + qp // 6
     f = (1 << qbits) // (3 if intra else 6)
-    mf = _QUANT_MF_J[qp]
+    mf = jnp.asarray(_QUANT_MF_J)[qp]
     c = coef.astype(jnp.int64)
     shift = qbits.astype(jnp.int64)
     if mf.ndim > 2:  # per-block qp: align [..., 4, 4]
@@ -71,7 +74,7 @@ def quant_dc(coef, qp, intra: bool):
     qp = jnp.asarray(qp, jnp.int32)
     qbits = 15 + qp // 6
     f = 2 * ((1 << qbits) // (3 if intra else 6))
-    mf = _QUANT_MF_J[qp][..., 0, 0]
+    mf = jnp.asarray(_QUANT_MF_J)[qp][..., 0, 0]
     c = coef.astype(jnp.int64)
     shift = (qbits + 1).astype(jnp.int64)
     if mf.ndim > 0:
@@ -83,7 +86,7 @@ def quant_dc(coef, qp, intra: bool):
 
 
 def dequant4x4(level, qp):
-    d = _DEQUANT_4x4_J[jnp.asarray(qp, jnp.int32)]
+    d = jnp.asarray(_DEQUANT_4x4_J)[jnp.asarray(qp, jnp.int32)]
     return level.astype(jnp.int32) * d
 
 
@@ -107,7 +110,7 @@ def idct4x4_add(pred, coef):
 
 
 def luma_dc_dequant_ihadamard(dc, qp):
-    qmul = (_DEQUANT_4x4_J[jnp.asarray(qp, jnp.int32), 0, 0] << 4).astype(jnp.int32)
+    qmul = (jnp.asarray(_DEQUANT_4x4_J)[jnp.asarray(qp, jnp.int32), 0, 0] << 4).astype(jnp.int32)
     t = ihadamard4x4(dc)
     if jnp.ndim(qmul) > 0:
         qmul = qmul[..., None, None]
@@ -116,7 +119,7 @@ def luma_dc_dequant_ihadamard(dc, qp):
 
 def chroma_dc_dequant_ihadamard(dc, qp):
     h = jnp.asarray(np.array([[1, 1], [1, -1]], dtype=np.int32))
-    qmul = _DEQUANT_4x4_J[jnp.asarray(qp, jnp.int32), 0, 0]
+    qmul = jnp.asarray(_DEQUANT_4x4_J)[jnp.asarray(qp, jnp.int32), 0, 0]
     t = h @ dc.astype(jnp.int32) @ h.T
     if jnp.ndim(qmul) > 0:
         qmul = qmul[..., None, None]
