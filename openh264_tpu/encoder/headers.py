@@ -67,8 +67,17 @@ def write_pps(cfg) -> bytes:
 
 def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
                        first_mb: int, qp: int, idr: bool, idr_pic_id: int,
-                       disable_deblock: int) -> None:
-    """slice_type: 2=I, 0=P (all-slices-same convention uses +5)."""
+                       disable_deblock: int, is_ref: bool = True,
+                       reorder_abs_diff: int | None = None) -> None:
+    """slice_type: 2=I, 0=P (all-slices-same convention uses +5).
+
+    reorder_abs_diff: when set, emits a single short-term
+    ref_pic_list_modification (idc 0, abs_diff_pic_num_minus1 = value)
+    so the slice references a specific DPB picture — used by temporal
+    layers to pin each layer to its dyadic reference (the reference
+    builds the same effect via its ref-list strategy,
+    ref_list_mgr_svc.cpp WelsBuildRefList).
+    """
     w.ue(first_mb)
     w.ue(slice_type + 5)             # e.g. 7 = I (all slices), 5 = P
     w.ue(0)                          # pps_id
@@ -78,12 +87,18 @@ def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
     # poc type 2: nothing
     if slice_type == 0:              # P
         w.flag(False)                # num_ref_idx_active_override
-        w.flag(False)                # ref_pic_list_modification_flag_l0
-    # dec_ref_pic_marking (every frame is a reference in IPPP)
+        if reorder_abs_diff is None:
+            w.flag(False)            # ref_pic_list_modification_flag_l0
+        else:
+            w.flag(True)
+            w.ue(0)                  # modification_of_pic_nums_idc = 0
+            w.ue(reorder_abs_diff)   # abs_diff_pic_num_minus1
+            w.ue(3)                  # end of modification loop
+    # dec_ref_pic_marking (only present on reference pictures)
     if idr:
         w.flag(False)                # no_output_of_prior_pics
         w.flag(False)                # long_term_reference_flag
-    else:
+    elif is_ref:
         w.flag(False)                # adaptive_ref_pic_marking_mode
     w.se(qp - cfg.pic_init_qp)       # slice_qp_delta
     # deblocking control (pps.deblocking_filter_control_present = 1)

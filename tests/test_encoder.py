@@ -49,7 +49,7 @@ def test_roundtrip_ipp(qp, nframes, idr_int):
     recons = []
     for (y, u, v) in frames:
         bs += enc.encode_frame(y, u, v)
-        recons.append(tuple(np.asarray(p) for p in enc.ref))
+        recons.append(tuple(np.asarray(p) for p in enc.dpb[-1].planes))
 
     dec = H264Decoder().decode_annexb(bs)
     assert len(dec) == len(frames)
@@ -85,7 +85,7 @@ def test_roundtrip_synthetic_sizes():
         u = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
         v = rng.integers(0, 255, (h // 2, w // 2), np.uint8)
         bs += enc.encode_frame(y, u, v)
-        recons.append(tuple(np.asarray(p) for p in enc.ref))
+        recons.append(tuple(np.asarray(p) for p in enc.dpb[-1].planes))
     dec = H264Decoder().decode_annexb(bs)
     assert len(dec) == 2
     for i, fr in enumerate(dec):
