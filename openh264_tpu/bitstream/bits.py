@@ -154,6 +154,12 @@ class BitWriter:
     def flag(self, b) -> None:
         self.u(1, 1 if b else 0)
 
+    def byte_align(self, bit: int = 0) -> None:
+        """Pad with `bit` to the next byte boundary (e.g. CABAC
+        cabac_alignment_one_bit, §7.3.4)."""
+        while self._accbits % 8:
+            self.u(1, bit)
+
     def ue(self, v: int) -> None:
         if v < 0:
             raise ValueError("ue(v) requires v >= 0")

@@ -22,6 +22,7 @@ from ..decoder.mvpred import MvContext, ensure_motion_grids
 from ..oracle.deblock import deblock_frame
 from ..tables import CHROMA_QP_TABLE, ZIGZAG_4x4
 from ..tables.cavlc import CBP_INTER_INV
+from .cabac_enc import CabacSliceWriter
 from .cavlc_enc import write_residual_block
 from .headers import write_pps, write_slice_header, write_sps
 from .ratectl import RateControl
@@ -255,11 +256,167 @@ class H264Encoder:
         w = BitWriter()
         write_slice_header(w, cfg, 2, self.frame_num, 0, self.qp, True,
                            self.idr_pic_id, disable_deblock=cfg.deblock_idc)
+        if cfg.entropy_cabac:
+            self._write_i_slice_cabac(w, out)
+            return w.get_bytes()
         nc = _NcTracker(cfg.mb_width, cfg.mb_height)
         for idx in range(cfg.mb_width * cfg.mb_height):
             self._write_i16_mb(w, out, idx, nc, p_slice=False)
         w.rbsp_trailing_bits()
         return w.get_bytes()
+
+    # --- CABAC paths ---------------------------------------------------
+    def _mb_coeff_views(self, out, idx):
+        """CBP + scan-order coefficient views for one MB."""
+        luma_ac = out["luma_ac"][idx]
+        cdc = out["chroma_dc"][idx]
+        cac = out["chroma_ac"][idx]
+        cbp_chroma = 2 if cac.any() else (1 if cdc.any() else 0)
+        return luma_ac, cdc, cac, cbp_chroma
+
+    def _cabac_luma_ac(self, sw: CabacSliceWriter, out, idx, cbp_luma,
+                       is_i16: bool):
+        """Luma 4x4 AC/residual blocks in zscan order with per-block cbf."""
+        from ..decoder.framedata import ZSCAN_TO_RASTER
+        from ..decoder.cabac import I16_AC, LUMA_4x4
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        gx, gy = mbx * 4, mby * 4
+        luma_ac = out["luma_ac"][idx]
+        prop = I16_AC if is_i16 else LUMA_4x4
+        for k in range(16):
+            r = int(ZSCAN_TO_RASTER[k])
+            bx, by = r % 4, r // 4
+            b8 = (by >> 1) * 2 + (bx >> 1)
+            if not (cbp_luma & (1 << b8)):
+                sw.nzc_l[gy + by, gx + bx] = 0
+                continue
+            coeffs = luma_ac[r][ZIGZAG_4x4]
+            if is_i16:
+                coeffs = coeffs[1:]
+            nz = int(np.count_nonzero(coeffs))
+            sw.cbf(idx, prop, 1 if nz else 0, gx + bx, gy + by)
+            if nz:
+                sw.residual_levels(prop, coeffs)
+            sw.nzc_l[gy + by, gx + bx] = nz
+
+    def _cabac_chroma(self, sw: CabacSliceWriter, out, idx, cbp_chroma):
+        from ..decoder.cabac import CHROMA_DC, CHROMA_AC
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        cx, cy = mbx * 2, mby * 2
+        if cbp_chroma:
+            for comp in range(2):
+                dc = out["chroma_dc"][idx, comp]
+                nz = dc.any()
+                sw.cbf(idx, CHROMA_DC, 1 if nz else 0, comp=comp,
+                       dc_bit=1 + comp)
+                if nz:
+                    sw.residual_levels(CHROMA_DC, dc)
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for k in range(4):
+                    bx, by = k % 2, k // 2
+                    coeffs = out["chroma_ac"][idx, comp, k][ZIGZAG_4x4][1:]
+                    nz = int(np.count_nonzero(coeffs))
+                    sw.cbf(idx, CHROMA_AC, 1 if nz else 0, cx + bx, cy + by,
+                           comp=comp)
+                    if nz:
+                        sw.residual_levels(CHROMA_AC, coeffs)
+                    sw.nzc_c[comp, cy + by, cx + bx] = nz
+        else:
+            sw.nzc_c[:, cy:cy + 2, cx:cx + 2] = 0
+
+    def _write_i16_mb_cabac(self, sw: CabacSliceWriter, out, idx,
+                            p_slice: bool):
+        from ..decoder.cabac import I16_DC
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        luma_ac, cdc, cac, cbp_chroma = self._mb_coeff_views(out, idx)
+        cbp_luma = 15 if luma_ac.any() else 0
+        sw.mb_type_i16(idx, int(out["i16_mode"][idx]), bool(cbp_luma),
+                       cbp_chroma, p_slice)
+        sw.intra_chroma_pred_mode(idx, int(out["chroma_mode"][idx]))
+        sw._cbp_arr[idx] = cbp_luma | (cbp_chroma << 4)
+        sw.delta_qp(0)
+        dc = out["luma_dc"][idx].reshape(-1)[ZIGZAG_4x4]
+        nz_dc = dc.any()
+        sw.cbf(idx, I16_DC, 1 if nz_dc else 0, dc_bit=0)
+        if nz_dc:
+            sw.residual_levels(I16_DC, dc)
+        self._cabac_luma_ac(sw, out, idx, cbp_luma, is_i16=True)
+        self._cabac_chroma(sw, out, idx, cbp_chroma)
+        gx, gy = mbx * 4, mby * 4
+        sw.mvd[gy:gy + 4, gx:gx + 4] = 0
+        sw.mb_coded[idx] = True
+
+    def _write_i_slice_cabac(self, w: BitWriter, out):
+        cfg = self.cfg
+        n_mb = cfg.mb_width * cfg.mb_height
+        w.byte_align(1)   # cabac_alignment_one_bit
+        sw = CabacSliceWriter(cfg.mb_width, cfg.mb_height, self.qp,
+                              is_i=True)
+        for idx in range(n_mb):
+            self._write_i16_mb_cabac(sw, out, idx, p_slice=False)
+            sw.end_of_slice(idx == n_mb - 1)
+        sw.eng.write_to(w)
+
+    def _write_p_slice_cabac(self, w: BitWriter, out):
+        cfg = self.cfg
+        mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        n_mb = mb_w * mb_h
+        w.byte_align(1)
+        sw = CabacSliceWriter(mb_w, mb_h, self.qp, is_i=False)
+        fs = FrameSymbols(mb_w, mb_h)
+        fs.slice_id[:] = 0
+        mvc = MvContext(fs, 0)
+        for idx in range(n_mb):
+            mbx, mby = idx % mb_w, idx // mb_w
+            gx, gy = mbx * 4, mby * 4
+            fs.gwritten[gy:gy + 4, gx:gx + 4] = False
+            mv = out["mv"][idx].astype(np.int32)
+            luma_ac, cdc, cac, cbp_chroma = self._mb_coeff_views(out, idx)
+            cbp_luma = 0
+            for b8 in range(4):
+                blocks = [(b8 // 2) * 8 + (b8 % 2) * 2 + (i // 2) * 4 + (i % 2)
+                          for i in range(4)]
+                if luma_ac[blocks].any():
+                    cbp_luma |= 1 << b8
+            cbp = cbp_luma | (cbp_chroma << 4)
+            skip_mv = mvc.pred_skip_mv(gx, gy, idx)
+            if cbp == 0 and mv[0] == skip_mv[0] and mv[1] == skip_mv[1]:
+                sw.skip_flag(idx, 1)
+                mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+                sw.mvd[gy:gy + 4, gx:gx + 4] = 0
+                sw.nzc_l[gy:gy + 4, gx:gx + 4] = 0
+                sw.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+                sw._cbp_arr[idx] = 0
+                sw.mb_skip[idx] = True
+                sw.mb_coded[idx] = True
+                sw.last_dqp = 0
+                sw.end_of_slice(idx == n_mb - 1)
+                continue
+            sw.skip_flag(idx, 0)
+            sw.mb_type_p16x16()
+            mvp = mvc.pred_mv(gx, gy, 4, 4, 0, 0, idx)
+            mvd = (int(mv[0] - mvp[0]), int(mv[1] - mvp[1]))
+            sw.mvd_comp(idx, 0, gx, gy, mvd[0])
+            sw.mvd_comp(idx, 1, gx, gy, mvd[1])
+            sw.mvd[gy:gy + 4, gx:gx + 4] = mvd
+            mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+            sw.cbp(idx, cbp)
+            sw._cbp_arr[idx] = cbp
+            if cbp:
+                sw.delta_qp(0)
+                self._cabac_luma_ac(sw, out, idx, cbp_luma, is_i16=False)
+                self._cabac_chroma(sw, out, idx, cbp_chroma)
+            else:
+                sw.last_dqp = 0
+                sw.nzc_l[gy:gy + 4, gx:gx + 4] = 0
+                sw.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
+            sw.mb_coded[idx] = True
+            sw.end_of_slice(idx == n_mb - 1)
+        sw.eng.write_to(w)
 
     def _write_i16_mb(self, w, out, idx, nc: _NcTracker, p_slice: bool):
         cfg = self.cfg
@@ -347,6 +504,9 @@ class H264Encoder:
         write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,
                            0, disable_deblock=cfg.deblock_idc,
                            is_ref=is_ref, reorder_abs_diff=reorder_abs_diff)
+        if cfg.entropy_cabac:
+            self._write_p_slice_cabac(w, out)
+            return w.get_bytes()
         nc = _NcTracker(mb_w, mb_h)
         # MVP state via the decoder's machinery (exact by construction)
         fs = FrameSymbols(mb_w, mb_h)

@@ -100,6 +100,8 @@ def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
         w.flag(False)                # long_term_reference_flag
     elif is_ref:
         w.flag(False)                # adaptive_ref_pic_marking_mode
+    if cfg.entropy_cabac and slice_type != 2:
+        w.ue(0)                      # cabac_init_idc
     w.se(qp - cfg.pic_init_qp)       # slice_qp_delta
     # deblocking control (pps.deblocking_filter_control_present = 1)
     w.ue(disable_deblock)

@@ -40,10 +40,13 @@ def _psnr(a, b):
 
 
 @pytest.mark.skipif(not os.path.exists(YUV), reason="reference res/ absent")
-@pytest.mark.parametrize("qp,nframes,idr_int", [(26, 3, 0), (32, 3, 2)])
-def test_roundtrip_ipp(qp, nframes, idr_int):
+@pytest.mark.parametrize("qp,nframes,idr_int,cabac", [(26, 3, 0, False),
+                                                      (32, 3, 2, False),
+                                                      (28, 3, 0, True)])
+def test_roundtrip_ipp(qp, nframes, idr_int, cabac):
     frames = _frames(nframes)
-    cfg = EncoderConfig(width=W, height=H, qp=qp, idr_interval=idr_int)
+    cfg = EncoderConfig(width=W, height=H, qp=qp, idr_interval=idr_int,
+                        entropy_cabac=cabac)
     enc = H264Encoder(cfg)
     bs = b""
     recons = []
