@@ -188,6 +188,16 @@ class BitWriter:
         while not self.byte_aligned():
             self.u(1, 0)
 
+    def put_bytes(self, data: bytes) -> None:
+        """Append whole bytes (writer must be byte-aligned)."""
+        if self._accbits % 8:
+            raise ValueError("put_bytes requires byte alignment")
+        if self._accbits:
+            self._chunks.append(self._acc.to_bytes(self._accbits // 8, "big"))
+            self._acc = 0
+            self._accbits = 0
+        self._chunks.append(data)
+
     def align_zero(self) -> None:
         while not self.byte_aligned():
             self.u(1, 0)

@@ -22,27 +22,46 @@ from ..decoder.cabac import (CabacContexts, RANGE_LPS, STATE_TRANS,
 
 
 class CabacEncoder:
-    """Spec arithmetic encoding engine (§9.3.4.2) emitting to a bit list."""
+    """Spec arithmetic encoding engine (§9.3.4.2).
 
-    __slots__ = ("low", "range", "outstanding", "first", "bits")
+    Output bits are packed MSB-first into an int accumulator and
+    flushed to whole bytes periodically (no per-bit Python lists —
+    see ADVICE r1 on interpreter overhead in the hot entropy path).
+    """
+
+    __slots__ = ("low", "range", "outstanding", "first",
+                 "_chunks", "_acc", "_nbits")
 
     def __init__(self):
         self.low = 0
         self.range = 510
         self.outstanding = 0
         self.first = True
-        self.bits: list[int] = []
+        self._chunks: list[bytes] = []
+        self._acc = 0
+        self._nbits = 0
 
     # --- low-level bit plumbing ----------------------------------------
+    def _emit(self, n: int, v: int) -> None:
+        self._acc = (self._acc << n) | v
+        self._nbits += n
+        if self._nbits >= 4096:
+            nbytes = self._nbits // 8
+            keep = self._nbits - nbytes * 8
+            self._chunks.append((self._acc >> keep).to_bytes(nbytes, "big"))
+            self._acc &= (1 << keep) - 1
+            self._nbits = keep
+
     def _put(self, b: int) -> None:
         if self.first:
             self.first = False
         else:
-            self.bits.append(b)
-        nb = b ^ 1
-        while self.outstanding > 0:
-            self.bits.append(nb)
-            self.outstanding -= 1
+            self._emit(1, b)
+        if self.outstanding > 0:
+            n = self.outstanding
+            # run of n copies of the complement bit
+            self._emit(n, ((1 << n) - 1) if b == 0 else 0)
+            self.outstanding = 0
 
     def _renorm(self) -> None:
         while self.range < 256:
@@ -98,14 +117,19 @@ class CabacEncoder:
         self._renorm()
         self._put((self.low >> 9) & 1)
         # last two bits of low; the final 1 is the rbsp stop bit
-        self.bits.append((self.low >> 8) & 1)
-        self.bits.append(1)
+        self._emit(2, (((self.low >> 8) & 1) << 1) | 1)
 
     def write_to(self, w) -> None:
-        """Append the finished bin stream to a BitWriter (byte-aligns)."""
-        for b in self.bits:
-            w.u(1, b)
-        w.byte_align(0)   # cabac zero padding to byte boundary
+        """Append the finished bin stream to a BitWriter (byte-aligns
+        with cabac zero padding)."""
+        npad = (8 - self._nbits % 8) % 8
+        if npad:
+            self._emit(npad, 0)
+        if self._nbits:
+            self._chunks.append(self._acc.to_bytes(self._nbits // 8, "big"))
+            self._acc = 0
+            self._nbits = 0
+        w.put_bytes(b"".join(self._chunks))
 
     # --- composite binarizations -----------------------------------------
     def exp_bypass(self, k: int, v: int) -> None:
@@ -156,9 +180,8 @@ class CabacSliceWriter:
     slice_dec_cabac ctx computation with encoder-side state grids)."""
 
     def __init__(self, mb_w: int, mb_h: int, slice_qp: int, is_i: bool,
-                 cabac_init_idc: int = 0, first_mb: int = 0):
+                 cabac_init_idc: int = 0):
         self.mb_w, self.mb_h = mb_w, mb_h
-        self.first_mb = first_mb
         self.bctx = CabacContexts(is_i, cabac_init_idc,
                                   int(np.clip(slice_qp, 0, 51)))
         self.eng = CabacEncoder()
@@ -277,11 +300,16 @@ class CabacSliceWriter:
         eng.ueg_mv(bctx, base + 3, abs(val) - 1)
         eng.bypass(1 if val < 0 else 0)
 
-    def cbp(self, mb_idx: int, cbp: int) -> None:
+    def record_cbp(self, mb_idx: int, cbp: int) -> None:
+        """Record an MB's cbp for later neighbor-context lookups (used
+        directly for MB types whose cbp is implied, e.g. I16x16/skip)."""
+        self._cbp_arr[mb_idx] = cbp
+
+    def write_cbp(self, mb_idx: int, cbp: int) -> None:
         eng, bctx = self.eng, self.bctx
         left, top = self._lt(mb_idx)
-        lcbp = int(self.cbp_arr[left]) if left >= 0 else 0
-        tcbp = int(self.cbp_arr[top]) if top >= 0 else 0
+        lcbp = int(self._cbp_arr[left]) if left >= 0 else 0
+        tcbp = int(self._cbp_arr[top]) if top >= 0 else 0
         lok, tok = left >= 0, top >= 0
         btop = [tok and ((tcbp & (1 << 2)) == 0), tok and ((tcbp & (1 << 3)) == 0)]
         aleft = [lok and ((lcbp & (1 << 1)) == 0), lok and ((lcbp & (1 << 3)) == 0)]
@@ -291,20 +319,16 @@ class CabacSliceWriter:
         eng.decision(bctx, CTX_CBP + aleft[1] + ((not bits[0]) << 1), bits[2])
         eng.decision(bctx, CTX_CBP + (not bits[2]) + ((not bits[1]) << 1), bits[3])
         cc = cbp >> 4
-        ib = top >= 0 and (int(self.cbp_arr[top]) >> 4)
-        ia = left >= 0 and (int(self.cbp_arr[left]) >> 4)
+        ib = top >= 0 and (tcbp >> 4)
+        ia = left >= 0 and (lcbp >> 4)
         eng.decision(bctx, CTX_CBP + 4 + bool(ia) + (bool(ib) << 1),
                      1 if cc else 0)
         if cc:
-            ib = top >= 0 and (int(self.cbp_arr[top]) >> 4) == 2
-            ia = left >= 0 and (int(self.cbp_arr[left]) >> 4) == 2
+            ib = top >= 0 and (tcbp >> 4) == 2
+            ia = left >= 0 and (lcbp >> 4) == 2
             eng.decision(bctx, CTX_CBP + 8 + bool(ia) + (bool(ib) << 1),
                          cc - 1)
-
-    # cbp() shadows the array; keep the array under a distinct name
-    @property
-    def cbp_arr(self):
-        return self._cbp_arr
+        self.record_cbp(mb_idx, cbp)
 
     def delta_qp(self, dqp: int) -> None:
         eng, bctx = self.eng, self.bctx

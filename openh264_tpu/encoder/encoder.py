@@ -113,6 +113,10 @@ class _NcTracker:
 class H264Encoder:
     def __init__(self, cfg: EncoderConfig):
         self.cfg = cfg
+        if cfg.entropy_cabac and cfg.profile_idc == 66:
+            # CABAC is prohibited in Baseline (Annex A.2.1); auto-bump to
+            # Main like the reference (encoder_ext.cpp:655-662).
+            cfg.profile_idc = 77
         if cfg.temporal_layers > 1:
             # DPB depth so each dyadic layer's anchor survives until the
             # next lower-layer frame arrives (see SURVEY §5.7)
@@ -337,7 +341,7 @@ class H264Encoder:
         sw.mb_type_i16(idx, int(out["i16_mode"][idx]), bool(cbp_luma),
                        cbp_chroma, p_slice)
         sw.intra_chroma_pred_mode(idx, int(out["chroma_mode"][idx]))
-        sw._cbp_arr[idx] = cbp_luma | (cbp_chroma << 4)
+        sw.record_cbp(idx, cbp_luma | (cbp_chroma << 4))
         sw.delta_qp(0)
         dc = out["luma_dc"][idx].reshape(-1)[ZIGZAG_4x4]
         nz_dc = dc.any()
@@ -390,7 +394,7 @@ class H264Encoder:
                 sw.mvd[gy:gy + 4, gx:gx + 4] = 0
                 sw.nzc_l[gy:gy + 4, gx:gx + 4] = 0
                 sw.nzc_c[:, mby * 2:mby * 2 + 2, mbx * 2:mbx * 2 + 2] = 0
-                sw._cbp_arr[idx] = 0
+                sw.record_cbp(idx, 0)
                 sw.mb_skip[idx] = True
                 sw.mb_coded[idx] = True
                 sw.last_dqp = 0
@@ -404,8 +408,7 @@ class H264Encoder:
             sw.mvd_comp(idx, 1, gx, gy, mvd[1])
             sw.mvd[gy:gy + 4, gx:gx + 4] = mvd
             mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
-            sw.cbp(idx, cbp)
-            sw._cbp_arr[idx] = cbp
+            sw.write_cbp(idx, cbp)
             if cbp:
                 sw.delta_qp(0)
                 self._cabac_luma_ac(sw, out, idx, cbp_luma, is_i16=False)
