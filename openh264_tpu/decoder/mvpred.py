@@ -17,6 +17,11 @@ def ensure_motion_grids(fs):
         fs.gmv = np.zeros((2, h4, w4, 2), dtype=np.int32)
         fs.gref = np.full((2, h4, w4), -1, dtype=np.int32)
         fs.gwritten = np.zeros((h4, w4), dtype=bool)
+        # per-list "ref_idx known" mask: the CABAC ref_idx context reads
+        # neighbor refs that were parsed but whose MVs aren't in yet
+        # (reference updates its ref cache per partition inside the ref
+        # loop, parse_mb_syn_cabac.cpp:660 UpdateP8x8RefIdxCabac)
+        fs.grefw = np.zeros((2, h4, w4), dtype=bool)
 
 
 class MvContext:
@@ -108,3 +113,4 @@ class MvContext:
         fs.gmv[lx, gy:gy + ph, gx:gx + pw] = mv
         fs.gref[lx, gy:gy + ph, gx:gx + pw] = ref_idx
         fs.gwritten[gy:gy + ph, gx:gx + pw] = True
+        fs.grefw[lx, gy:gy + ph, gx:gx + pw] = True

@@ -239,7 +239,9 @@ class CabacSliceDecoder:
                 return False, False
             nmb = (ny // 4) * fs.mb_w + (nx // 4)
             if nmb == mb_idx:
-                if not fs.gwritten[ny, nx]:
+                # within-MB: a neighbor counts as soon as its ref_idx is
+                # parsed, before its MVs land (UpdateP8x8RefIdxCabac)
+                if not fs.grefw[lx, ny, nx]:
                     return False, False
             else:
                 if fs.slice_id[nmb] != fs.slice_id[mb_idx]:
@@ -266,6 +268,14 @@ class CabacSliceDecoder:
             if v > 32:
                 raise ValueError("runaway ref_idx")
         return v
+
+    def note_ref(self, lx, gx, gy, pw, ph, ref) -> None:
+        """Record a parsed ref_idx in the neighbor grids before its MVs
+        are known (the reference's per-partition ref-cache update in the
+        ref loop: parse_mb_syn_cabac.cpp UpdateP{8x8,16x8,8x16}RefIdxCabac)."""
+        fs = self.fs
+        fs.gref[lx, gy:gy + ph, gx:gx + pw] = ref
+        fs.grefw[lx, gy:gy + ph, gx:gx + pw] = True
 
     def mvd(self, mb_idx, lx, comp, gx, gy) -> int:
         fs = self.fs
@@ -643,23 +653,33 @@ def _decode_p_mb_cabac(dec: CabacSliceDecoder, mb_idx: int) -> None:
                            _read_mvd_pair(dec, mb_idx, 0, gx, gy))
     elif raw == 1:
         fs.mb_type[mb_idx] = MB_P16x8
-        refs = [dec.ref_idx(mb_idx, 0, gx, gy + 2 * p, n_ref, False)
-                for p in range(2)]
+        refs = []
+        for p in range(2):
+            r = dec.ref_idx(mb_idx, 0, gx, gy + 2 * p, n_ref, False)
+            dec.note_ref(0, gx, gy + 2 * p, 4, 2, r)
+            refs.append(r)
         for p in range(2):
             _set_part_with_mvd(dec, mb_idx, 0, gx, gy + 2 * p, 4, 2, refs[p],
                                _read_mvd_pair(dec, mb_idx, 0, gx, gy + 2 * p))
     elif raw == 2:
         fs.mb_type[mb_idx] = MB_P8x16
-        refs = [dec.ref_idx(mb_idx, 0, gx + 2 * p, gy, n_ref, False)
-                for p in range(2)]
+        refs = []
+        for p in range(2):
+            r = dec.ref_idx(mb_idx, 0, gx + 2 * p, gy, n_ref, False)
+            dec.note_ref(0, gx + 2 * p, gy, 2, 4, r)
+            refs.append(r)
         for p in range(2):
             _set_part_with_mvd(dec, mb_idx, 0, gx + 2 * p, gy, 2, 4, refs[p],
                                _read_mvd_pair(dec, mb_idx, 0, gx + 2 * p, gy))
     else:  # P_8x8 (raw 3; raw 4 P8x8ref0 not generated by tree)
         fs.mb_type[mb_idx] = MB_P8x8
         subs = [dec.sub_mb_type_p() for _ in range(4)]
-        refs = [dec.ref_idx(mb_idx, 0, gx + (q % 2) * 2, gy + (q // 2) * 2,
-                            n_ref, False) for q in range(4)]
+        refs = []
+        for q in range(4):
+            q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+            r = dec.ref_idx(mb_idx, 0, q_gx, q_gy, n_ref, False)
+            dec.note_ref(0, q_gx, q_gy, 2, 2, r)
+            refs.append(r)
         for q in range(4):
             q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
             n_parts, pw, ph = _P_SUB_SHAPES[subs[q]]
@@ -727,10 +747,11 @@ def _decode_b_mb_cabac(dec: CabacSliceDecoder, mb_idx: int) -> None:
         refs = [[-1, -1], [-1, -1]]
         for lx in (0, 1):
             for part in range(2):
+                px, py = part_pos[part]
                 if modes[part] == lx or modes[part] == 2:
-                    px, py = part_pos[part]
                     refs[part][lx] = dec.ref_idx(mb_idx, lx, px, py,
                                                  n0 if lx == 0 else n1, True)
+                dec.note_ref(lx, px, py, pw, ph, refs[part][lx])
         for part in range(2):
             px, py = part_pos[part]
             for lx in (0, 1):
@@ -747,19 +768,29 @@ def _decode_b_mb_cabac(dec: CabacSliceDecoder, mb_idx: int) -> None:
         fs.mb_type[mb_idx] = MB_B8x8
         subs_raw = [dec.sub_mb_type_b() for _ in range(4)]
         subs = [_B_SUB[t] for t in subs_raw]
+        # direct quadrants resolve motion BEFORE the ref loop so their
+        # refs/direct flags feed later quadrants' ref_idx contexts
+        # (reference direct-fill loop precedes "ref no-direct" loop,
+        # parse_mb_syn_cabac.cpp ParseInterBMotionInfoCabac MB_TYPE_8x8)
+        for q in range(4):
+            if subs[q][0] == -1:
+                q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+                apply_direct(ctx, mb_idx, q_gx, q_gy, 2)
+                fs.gdirect[q_gy:q_gy + 2, q_gx:q_gx + 2] = 1
         refs = [[-1, -1] for _ in range(4)]
         for lx in (0, 1):
             for q in range(4):
                 mode = subs[q][0]
+                if mode == -1:
+                    continue
+                q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
                 if mode == lx or mode == 2:
-                    q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
                     refs[q][lx] = dec.ref_idx(mb_idx, lx, q_gx, q_gy,
                                               n0 if lx == 0 else n1, True)
+                dec.note_ref(lx, q_gx, q_gy, 2, 2, refs[q][lx])
         for q in range(4):
             q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
             if subs[q][0] == -1:
-                apply_direct(ctx, mb_idx, q_gx, q_gy, 2)
-                fs.gdirect[q_gy:q_gy + 2, q_gx:q_gx + 2] = 1
                 continue
             for lx in (0, 1):
                 if refs[q][lx] < 0:
