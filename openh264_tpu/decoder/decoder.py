@@ -14,7 +14,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..bitstream import (BitReader, split_annexb, NAL_SPS, NAL_PPS, NAL_IDR,
-                         NAL_SLICE, NAL_SUBSET_SPS, NAL_SEI)
+                         NAL_SLICE, NAL_SLICE_EXT, NAL_SUBSET_SPS, NAL_SEI)
 from .dpb import DPB, Picture, PocContext
 from .framedata import FrameSymbols
 from .params import parse_pps, parse_sps
@@ -66,7 +66,7 @@ class H264Decoder:
             elif nal.nal_unit_type == NAL_PPS:
                 pps = parse_pps(nal.rbsp, self.sps_map)
                 self.pps_map[pps.pps_id] = pps
-            elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR):
+            elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR, NAL_SLICE_EXT):
                 br = BitReader(nal.rbsp)
                 sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
                                         self.subset_sps_map)
@@ -82,7 +82,14 @@ class H264Decoder:
         return frames
 
     def _activate_sps(self, sps) -> None:
-        if self.active_sps is sps:
+        # a re-transmitted identical SPS is NOT a new coded video
+        # sequence and must not flush the DPB (the reference keeps
+        # decoding; only content change triggers new-seq handling,
+        # decoder_core.cpp DecodeFrameConstruction new-seq path)
+        if self.active_sps is not None and (
+                self.active_sps is sps
+                or getattr(self.active_sps, "raw", None) == getattr(sps, "raw", 1)):
+            self.active_sps = sps
             return
         self.active_sps = sps
         self.dpb = DPB(sps.max_num_ref_frames, 1 << sps.log2_max_frame_num)

@@ -138,6 +138,7 @@ def _parse_all_scaling_lists(br: BitReader, sps: SPS | None, n8x8: int):
 def parse_sps(rbsp: bytes, is_subset: bool = False) -> SPS:
     br = BitReader(rbsp)
     sps = SPS()
+    sps.raw = bytes(rbsp)  # for content-change detection (repeated SPS ≠ new sequence)
     sps.is_subset_sps = is_subset
     sps.profile_idc = br.u(8)
     sps.constraint_flags = br.u(8)
@@ -180,6 +181,23 @@ def parse_sps(rbsp: bytes, is_subset: bool = False) -> SPS:
         sps.crop_bottom = br.ue()
     if br.flag():  # vui_parameters_present_flag
         sps.vui = parse_vui(br)
+    if is_subset and sps.profile_idc in (83, 86):
+        # seq_parameter_set_svc_extension (§G.7.3.2.1.4; parity:
+        # au_parser.cpp:722 DecodeSpsSvcExt)
+        svc = {}
+        svc["inter_layer_deblocking_ctrl"] = br.flag()
+        svc["extended_spatial_scalability"] = br.u(2)
+        svc["chroma_phase_x_plus1_flag"] = br.u(1)
+        svc["chroma_phase_y_plus1"] = br.u(2)
+        if svc["extended_spatial_scalability"] == 1:
+            svc["seq_ref_layer_chroma_phase_x_plus1_flag"] = br.u(1)
+            svc["seq_ref_layer_chroma_phase_y_plus1"] = br.u(2)
+            svc["scaled_ref_layer_offsets"] = tuple(br.se() for _ in range(4))
+        svc["seq_tcoeff_level_pred"] = br.flag()
+        if svc["seq_tcoeff_level_pred"]:
+            svc["adaptive_tcoeff_level_pred"] = br.flag()
+        svc["slice_header_restriction"] = br.flag()
+        sps.svc_ext = svc
     return sps
 
 

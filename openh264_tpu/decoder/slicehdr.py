@@ -58,7 +58,13 @@ class SliceHeader:
 
     @property
     def is_idr(self) -> bool:
-        return self.nal is not None and self.nal.nal_unit_type == 5
+        if self.nal is None:
+            return False
+        if self.nal.nal_unit_type == 5:
+            return True
+        # NAL 20 (SVC slice ext) carries idr_flag in the 3-byte ext header
+        return self.nal.nal_unit_type == 20 and self.nal.svc_ext is not None \
+            and bool(self.nal.svc_ext["idr_flag"])
 
     @property
     def qp(self) -> int:
@@ -70,7 +76,8 @@ def parse_slice_header(br: BitReader, nal: NalUnit,
                        subset_sps_map: dict[int, SPS] | None = None) -> SliceHeader:
     sh = SliceHeader()
     sh.nal = nal
-    idr = nal.nal_unit_type == 5
+    ext = nal.nal_unit_type == 20 and nal.svc_ext is not None
+    idr = nal.nal_unit_type == 5 or (ext and bool(nal.svc_ext["idr_flag"]))
     sh.first_mb_in_slice = br.ue()
     st = br.ue()
     if st > 9:
@@ -181,6 +188,9 @@ def parse_slice_header(br: BitReader, nal: NalUnit,
                     if len(ops) > 64:
                         raise ValueError("runaway MMCO")
                 sh.mmco_ops = tuple(ops)
+        if ext and not _svc_ext_field(sh.sps, "slice_header_restriction", False):
+            if br.flag() and not idr:  # store_ref_base_pic_flag
+                raise ValueError("store_ref_base_pic_flag=1 unsupported")
     if pps.entropy_coding_mode and sh.slice_type not in (I_SLICE, SI_SLICE):
         sh.cabac_init_idc = br.ue()
     sh.slice_qp_delta = br.se()
@@ -195,5 +205,22 @@ def parse_slice_header(br: BitReader, nal: NalUnit,
         import math
         bits = max(1, math.ceil(math.log2(pic_size_map_units / rate + 1)))
         sh.slice_group_change_cycle = br.u(bits)
+    if ext:
+        # slice_header_in_scalable_extension tail (H.264 §G.7.3.3.4;
+        # parity: decoder_core.cpp:1264-1380). Single-layer decode only
+        # supports no_inter_layer_pred base-quality slices.
+        if not nal.svc_ext["no_inter_layer_pred_flag"]:
+            if nal.svc_ext["quality_id"] == 0:
+                raise ValueError("inter-layer prediction unsupported")
+            raise ValueError("MGS (quality_id>0) unsupported")
+        if not _svc_ext_field(sh.sps, "slice_header_restriction", False):
+            scan_start, scan_end = br.u(4), br.u(4)
+            if scan_start != 0 or scan_end != 15:
+                raise ValueError("partial scan_idx range unsupported")
     sh.header_bits = br.pos
     return sh
+
+
+def _svc_ext_field(sps, name: str, default):
+    svc = getattr(sps, "svc_ext", None)
+    return svc.get(name, default) if svc else default
