@@ -77,8 +77,14 @@ class H264Decoder:
             # SEI, AUD, filler etc. skipped
         if pending:
             frames.append(self._decode_picture(pending))
-        # output (display) order: POC within each coded video sequence
-        frames.sort(key=lambda f: (f.cvs, f.poc))
+        frames = [f for f in frames if f is not None]
+        # Output (display) order mirrors the reference's reorder policy
+        # (welsDecoderExt.cpp:992-1137 Buffering/ReleaseBufferedReadyPicture):
+        # baseline profile and B-free streams release in decode order
+        # (ReleaseBufferedReadyPictureNoReorder); only streams that carry
+        # B-slices reorder by POC within each coded video sequence.
+        if getattr(self, "_has_b_slices", False):
+            frames.sort(key=lambda f: (f.cvs, f.poc))
         return frames
 
     def _activate_sps(self, sps) -> None:
@@ -101,6 +107,9 @@ class H264Decoder:
         self._activate_sps(sps)
         poc = self.poc_ctx.compute(sh0, sh0.nal.nal_ref_idc)
         fs = FrameSymbols(sps.mb_width, sps.mb_height)
+        if sh0.slice_type in (P_SLICE, B_SLICE) and \
+                not any(p.is_ref for p in self.dpb.pics):
+            self._recover_lost_ref(sps)
         ref_pics: dict[int, Picture] = {}
         for si, (nal, sh, br) in enumerate(slices):
             l0 = l1 = []
@@ -131,12 +140,40 @@ class H264Decoder:
                       is_ref=sh0.nal.nal_ref_idc != 0, is_idr=sh0.is_idr)
         self._attach_col_motion(pic, fs)
         self.dpb.store_picture(pic, sh0)
+        self.prev_decoded = pic
         if sh0.is_idr:
             self._cvs_counter = getattr(self, "_cvs_counter", -1) + 1
         y, u, v = self._crop(sps, st)
         return DecodedFrame(y, u, v, poc=poc, frame_num=sh0.frame_num,
                             is_idr=sh0.is_idr,
                             cvs=getattr(self, "_cvs_counter", 0))
+
+    def _recover_lost_ref(self, sps) -> None:
+        """P/B slice with an empty DPB (lost IDR): synthesize a ref so
+        decoding can continue (manage_dec_ref.cpp:151
+        WelsCheckAndRecoverForFutureDecoding). With a cross-IDR EC mode
+        and a previous decoded picture of the same size, copy it;
+        otherwise mid-gray."""
+        H, W = sps.mb_height * 16, sps.mb_width * 16
+        prev = getattr(self, "prev_decoded", None)
+        if prev is not None and prev.y.shape == (H, W):
+            y, u, v = prev.y.copy(), prev.u.copy(), prev.v.copy()
+        else:
+            y = np.full((H, W), 128, np.uint8)
+            u = np.full((H // 2, W // 2), 128, np.uint8)
+            v = np.full((H // 2, W // 2), 128, np.uint8)
+        pic = Picture(0, y, u, v, frame_num=0, poc=0, is_ref=True)
+        h4, w4 = sps.mb_height * 4, sps.mb_width * 4
+        pic.col_mv0 = np.zeros((h4, w4, 2), np.int32)
+        pic.col_mv1 = np.zeros((h4, w4, 2), np.int32)
+        pic.col_ref0 = np.full((h4, w4), -1, np.int32)
+        pic.col_ref1 = np.full((h4, w4), -1, np.int32)
+        pic.col_refpic0 = np.full((h4, w4), -1, np.int32)
+        pic.col_refpic1 = np.full((h4, w4), -1, np.int32)
+        pic.col_intra = np.ones((h4, w4), bool)
+        pic.pic_id = self.dpb._next_id
+        self.dpb._next_id += 1
+        self.dpb.pics.append(pic)
 
     @staticmethod
     def _attach_col_motion(pic: Picture, fs: FrameSymbols) -> None:

@@ -371,10 +371,16 @@ def decode_p_skip_mb(ctx: SliceDecodeContext, mb_idx: int) -> None:
     _finish_inter_mb(ctx, mb_idx)
 
 
-def _read_ref_idx(br: BitReader, num_active: int) -> int:
+def _read_ref_idx(br: BitReader, num_active: int, rl=None) -> int:
     if num_active <= 1:
         return 0
-    return br.te(num_active - 1)
+    r = br.te(num_active - 1)
+    # invalid/missing ref -> conceal with ref 0 and keep decoding, like
+    # the reference with EC active (parse_mb_syn_cavlc/ cabac
+    # "error ref_idx" paths, e.g. parse_mb_syn_cabac.cpp:545-553)
+    if rl is not None and not (0 <= r < len(rl)):
+        return 0
+    return r
 
 
 # sub_mb_type for P (Table 7-17): (n_parts, pw, ph) in 4x4-block units
@@ -398,13 +404,13 @@ def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
 
     if mb_type_raw == 0:  # P_L0_16x16
         fs.mb_type[mb_idx] = MB_P16x16
-        ref = _read_ref_idx(br, n_ref)
+        ref = _read_ref_idx(br, n_ref, ctx.ref_list0)
         mvd = np.array([br.se(), br.se()], np.int32)
         mv = mvc.pred_mv(gx, gy, 4, 4, 0, ref, mb_idx) + mvd
         mvc.set_partition(gx, gy, 4, 4, 0, ref, mv)
     elif mb_type_raw == 1:  # P_L0_L0_16x8
         fs.mb_type[mb_idx] = MB_P16x8
-        refs = [_read_ref_idx(br, n_ref) for _ in range(2)]
+        refs = [_read_ref_idx(br, n_ref, ctx.ref_list0) for _ in range(2)]
         for part in range(2):
             py = gy + part * 2
             mvd = np.array([br.se(), br.se()], np.int32)
@@ -412,7 +418,7 @@ def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
             mvc.set_partition(gx, py, 4, 2, 0, refs[part], mv)
     elif mb_type_raw == 2:  # P_L0_L0_8x16
         fs.mb_type[mb_idx] = MB_P8x16
-        refs = [_read_ref_idx(br, n_ref) for _ in range(2)]
+        refs = [_read_ref_idx(br, n_ref, ctx.ref_list0) for _ in range(2)]
         for part in range(2):
             px = gx + part * 2
             mvd = np.array([br.se(), br.se()], np.int32)
@@ -424,7 +430,7 @@ def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         if any(t > 3 for t in sub_types):
             raise ValueError(f"invalid P sub_mb_type {sub_types}")
         if mb_type_raw == 3:
-            refs = [_read_ref_idx(br, n_ref) for _ in range(4)]
+            refs = [_read_ref_idx(br, n_ref, ctx.ref_list0) for _ in range(4)]
         else:
             refs = [0, 0, 0, 0]
         for q in range(4):
@@ -541,7 +547,8 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         lists = (0,) if mode == 0 else (1,) if mode == 1 else (0, 1)
         refs = {}
         for lx in lists:
-            refs[lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+            refs[lx] = _read_ref_idx(br, n0 if lx == 0 else n1,
+                                      ctx.ref_list0 if lx == 0 else ctx.ref_list1)
         # unused lists become final (ref -1, mv 0) as soon as refs are known
         for lx in (0, 1):
             if lx not in lists:
@@ -561,7 +568,8 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         for lx in (0, 1):
             for part in range(2):
                 if modes[part] == lx or modes[part] == 2:
-                    refs[part][lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+                    refs[part][lx] = _read_ref_idx(br, n0 if lx == 0 else n1,
+                                                   ctx.ref_list0 if lx == 0 else ctx.ref_list1)
         # unused lists become final immediately (visible to later MVPs)
         for part in range(2):
             px, py = part_pos[part]
@@ -586,7 +594,8 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
             for q in range(4):
                 mode = subs[q][0]
                 if mode == lx or mode == 2:
-                    refs[q][lx] = _read_ref_idx(br, n0 if lx == 0 else n1)
+                    refs[q][lx] = _read_ref_idx(br, n0 if lx == 0 else n1,
+                                                ctx.ref_list0 if lx == 0 else ctx.ref_list1)
         # direct sub-blocks resolved before any mvd parse uses neighbors
         for q in range(4):
             if subs[q][0] == -1:

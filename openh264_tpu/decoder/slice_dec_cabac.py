@@ -267,7 +267,13 @@ class CabacSliceDecoder:
             v += 1
             if v > 32:
                 raise ValueError("runaway ref_idx")
-        return v
+        return self._clamp_ref(v, lx)
+
+    def _clamp_ref(self, r: int, lx: int) -> int:
+        """Conceal out-of-range / missing refs with ref 0 (reference EC
+        path, parse_mb_syn_cabac.cpp:545-553)."""
+        rl = self.ctx.ref_list0 if lx == 0 else self.ctx.ref_list1
+        return r if 0 <= r < len(rl) else 0
 
     def note_ref(self, lx, gx, gy, pw, ph, ref) -> None:
         """Record a parsed ref_idx in the neighbor grids before its MVs
