@@ -68,8 +68,16 @@ class H264Decoder:
                 self.pps_map[pps.pps_id] = pps
             elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR, NAL_SLICE_EXT):
                 br = BitReader(nal.rbsp)
-                sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
-                                        self.subset_sps_map)
+                try:
+                    sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
+                                            self.subset_sps_map)
+                except ValueError:
+                    if nal.nal_unit_type == NAL_SLICE_EXT:
+                        # unsupported SVC enhancement slice: skip it and keep
+                        # decoding the AVC base layer (parity: the reference
+                        # decodes the base layer of multi-layer streams)
+                        continue
+                    raise
                 if sh.first_mb_in_slice == 0 and pending:
                     frames.append(self._decode_picture(pending))
                     pending = []
@@ -107,9 +115,11 @@ class H264Decoder:
         self._activate_sps(sps)
         poc = self.poc_ctx.compute(sh0, sh0.nal.nal_ref_idc)
         fs = FrameSymbols(sps.mb_width, sps.mb_height)
+        if any(sh.slice_type == B_SLICE for _, sh, _ in slices):
+            self._has_b_slices = True
         if sh0.slice_type in (P_SLICE, B_SLICE) and \
                 not any(p.is_ref for p in self.dpb.pics):
-            self._recover_lost_ref(sps)
+            self._recover_lost_ref(sps, sh0)
         ref_pics: dict[int, Picture] = {}
         for si, (nal, sh, br) in enumerate(slices):
             l0 = l1 = []
@@ -148,7 +158,7 @@ class H264Decoder:
                             is_idr=sh0.is_idr,
                             cvs=getattr(self, "_cvs_counter", 0))
 
-    def _recover_lost_ref(self, sps) -> None:
+    def _recover_lost_ref(self, sps, sh0) -> None:
         """P/B slice with an empty DPB (lost IDR): synthesize a ref so
         decoding can continue (manage_dec_ref.cpp:151
         WelsCheckAndRecoverForFutureDecoding). With a cross-IDR EC mode
@@ -162,7 +172,12 @@ class H264Decoder:
             y = np.full((H, W), 128, np.uint8)
             u = np.full((H // 2, W // 2), 128, np.uint8)
             v = np.full((H // 2, W // 2), 128, np.uint8)
-        pic = Picture(0, y, u, v, frame_num=0, poc=0, is_ref=True)
+        from ..utils import wels_log, WELS_LOG_WARNING
+        prev_fn = (sh0.frame_num - 1) % (1 << sps.log2_max_frame_num)
+        wels_log(WELS_LOG_WARNING,
+                 "P/B slice with empty DPB: synthesizing lost reference "
+                 f"(frame_num={prev_fn}) for error concealment")
+        pic = Picture(0, y, u, v, frame_num=prev_fn, poc=0, is_ref=True)
         h4, w4 = sps.mb_height * 4, sps.mb_width * 4
         pic.col_mv0 = np.zeros((h4, w4, 2), np.int32)
         pic.col_mv1 = np.zeros((h4, w4, 2), np.int32)

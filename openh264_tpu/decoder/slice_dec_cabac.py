@@ -261,7 +261,7 @@ class CabacSliceDecoder:
             return 0
         # unary continuation: first bin ctx +4, subsequent +5
         if not eng.decision(bctx, CTX_REF_NO + 4):
-            return 1
+            return self._clamp_ref(1, lx)
         v = 2
         while eng.decision(bctx, CTX_REF_NO + 5):
             v += 1

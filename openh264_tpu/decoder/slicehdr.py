@@ -189,8 +189,12 @@ def parse_slice_header(br: BitReader, nal: NalUnit,
                         raise ValueError("runaway MMCO")
                 sh.mmco_ops = tuple(ops)
         if ext and not _svc_ext_field(sh.sps, "slice_header_restriction", False):
-            if br.flag() and not idr:  # store_ref_base_pic_flag
-                raise ValueError("store_ref_base_pic_flag=1 unsupported")
+            store_flag = br.flag()  # store_ref_base_pic_flag
+            # G.7.3.3.4: dec_ref_base_pic_marking() follows when
+            # (use_ref_base_pic_flag || store_ref_base_pic_flag) && !idr
+            # (parity: decoder_core.cpp:1188-1192). We support neither.
+            if (store_flag or nal.svc_ext["use_ref_base_pic_flag"]) and not idr:
+                raise ValueError("ref_base_pic marking unsupported")
     if pps.entropy_coding_mode and sh.slice_type not in (I_SLICE, SI_SLICE):
         sh.cabac_init_idc = br.ue()
     sh.slice_qp_delta = br.se()
