@@ -39,22 +39,64 @@ class DecodedFrame:
 
 
 class H264Decoder:
-    """Session-style decoder: feed Annex-B bytes, collect frames."""
+    """Session-style decoder: feed Annex-B bytes, collect frames.
 
-    def __init__(self, use_jax_recon: bool = False):
+    ec_mode: ERROR_CON_IDC analog (decoder/ec.py). The default matches
+    the reference console's `h264dec in out` invocation
+    (ERROR_CON_SLICE_COPY, h264dec.cpp:564), which is what the
+    conformance goldens were produced with. Incomplete (EC'd) pictures
+    are concealed and kept as references but NOT emitted: in the
+    reference's no-delay flow their output lands in the data call of a
+    DecodeFrame2 pair and the follow-up flush call memsets it away
+    (welsDecoderExt.cpp DecodeFrameNoDelay:695-733).
+    """
+
+    def __init__(self, use_jax_recon: bool = False, ec_mode: int | None = None):
+        from .ec import ERROR_CON_SLICE_COPY
         self.sps_map: dict[int, object] = {}
         self.subset_sps_map: dict[int, object] = {}
         self.pps_map: dict[int, object] = {}
         self.use_jax_recon = use_jax_recon
+        self.ec_mode = ERROR_CON_SLICE_COPY if ec_mode is None else ec_mode
         self.dpb: DPB | None = None
         self.poc_ctx: PocContext | None = None
         self.active_sps = None
 
+    @staticmethod
+    def _is_au_boundary(prev_sh, sh) -> bool:
+        """CheckAccessUnitBoundary (au_parser.cpp:495) for frame coding,
+        plus the universal first_mb_in_slice==0 new-picture rule."""
+        if sh.first_mb_in_slice == 0:
+            return True
+        if prev_sh is None:
+            return False
+        if prev_sh.sps is not sh.sps:
+            return True
+        if prev_sh.frame_num != sh.frame_num:
+            return True
+        if prev_sh.pps_id != sh.pps_id:
+            return True
+        if (prev_sh.nal.nal_ref_idc != 0) != (sh.nal.nal_ref_idc != 0):
+            return True
+        if prev_sh.is_idr != sh.is_idr:
+            return True
+        if sh.is_idr and prev_sh.idr_pic_id != sh.idr_pic_id:
+            return True
+        if sh.sps.pic_order_cnt_type == 0:
+            if prev_sh.pic_order_cnt_lsb != sh.pic_order_cnt_lsb:
+                return True
+        elif sh.sps.pic_order_cnt_type == 1:
+            if prev_sh.delta_pic_order_cnt != sh.delta_pic_order_cnt:
+                return True
+        if prev_sh.redundant_pic_cnt > sh.redundant_pic_cnt:
+            return True
+        return False
+
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         """Decode a whole Annex-B stream (batch mode)."""
+        from .ec import ERROR_CON_DISABLE
         nals = split_annexb(data)
         frames: list[DecodedFrame] = []
-        # group VCL nals into access units by first_mb_in_slice == 0
         pending: list[tuple] = []  # (nal, SliceHeader, BitReader)
         for nal in nals:
             if nal.nal_unit_type == NAL_SPS:
@@ -71,19 +113,28 @@ class H264Decoder:
                 try:
                     sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
                                             self.subset_sps_map)
-                except ValueError:
+                except ValueError as e:
                     if nal.nal_unit_type == NAL_SLICE_EXT:
                         # unsupported SVC enhancement slice: skip it and keep
                         # decoding the AVC base layer (parity: the reference
                         # decodes the base layer of multi-layer streams)
                         continue
+                    if self.ec_mode != ERROR_CON_DISABLE:
+                        from ..utils import wels_log, WELS_LOG_WARNING
+                        wels_log(WELS_LOG_WARNING,
+                                 f"dropping slice NAL with bad header: {e}")
+                        continue
                     raise
-                if sh.first_mb_in_slice == 0 and pending:
+                prev_sh = pending[-1][1] if pending else None
+                if pending and self._is_au_boundary(prev_sh, sh):
                     frames.append(self._decode_picture(pending))
                     pending = []
                 pending.append((nal, sh, br))
             # SEI, AUD, filler etc. skipped
         if pending:
+            # trailing AU: the reference decodes it at EOS flush; if it
+            # is incomplete there is no later boundary to trigger EC, so
+            # it is decoded but never output either way
             frames.append(self._decode_picture(pending))
         frames = [f for f in frames if f is not None]
         # Output (display) order mirrors the reference's reorder policy
@@ -115,18 +166,21 @@ class H264Decoder:
         self._activate_sps(sps)
         poc = self.poc_ctx.compute(sh0, sh0.nal.nal_ref_idc)
         fs = FrameSymbols(sps.mb_width, sps.mb_height)
+        fs.mb_correct[:] = False
         if any(sh.slice_type == B_SLICE for _, sh, _ in slices):
             self._has_b_slices = True
         if sh0.slice_type in (P_SLICE, B_SLICE) and \
                 not any(p.is_ref for p in self.dpb.pics):
             self._recover_lost_ref(sps, sh0)
         ref_pics: dict[int, Picture] = {}
+        fs.wp_by_slice = []
         for si, (nal, sh, br) in enumerate(slices):
             l0 = l1 = []
+            i0 = i1 = []
             if sh.slice_type in (P_SLICE, B_SLICE):
                 if sh.slice_type == P_SLICE:
-                    init = self.dpb.build_list_p(sh.frame_num)
-                    l0 = self.dpb.reorder_list(init, sh.ref_pic_list_modification[0],
+                    i0 = self.dpb.build_list_p(sh.frame_num)
+                    l0 = self.dpb.reorder_list(i0, sh.ref_pic_list_modification[0],
                                                sh.frame_num, sh.num_ref_idx_l0_active)
                 else:
                     i0, i1 = self.dpb.build_lists_b(poc, sh.frame_num)
@@ -135,16 +189,34 @@ class H264Decoder:
                     l1 = self.dpb.reorder_list(i1, sh.ref_pic_list_modification[1],
                                                sh.frame_num, sh.num_ref_idx_l1_active)
                 for p in l0 + l1:
-                    ref_pics[p.pic_id] = p
+                    if p is not None:
+                        ref_pics[p.pic_id] = p
+            from .wpred import build_slice_wp
+            fs.wp_by_slice.append(build_slice_wp(sh, i0, i1))
             ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
                                      poc=poc)
-            if sh.pps.entropy_coding_mode:
-                from .slice_dec_cabac import decode_slice_data_cabac
-                decode_slice_data_cabac(nal.rbsp, sh.header_bits, ctx)
-            else:
-                decode_slice_data_cavlc(br, ctx)
+            try:
+                if sh.pps.entropy_coding_mode:
+                    from .slice_dec_cabac import decode_slice_data_cabac
+                    decode_slice_data_cabac(nal.rbsp, sh.header_bits, ctx)
+                else:
+                    decode_slice_data_cavlc(br, ctx)
+            except Exception as e:
+                from .ec import ERROR_CON_DISABLE
+                if self.ec_mode == ERROR_CON_DISABLE:
+                    raise
+                from ..utils import wels_log, WELS_LOG_WARNING
+                wels_log(WELS_LOG_WARNING,
+                         f"slice {si} (first_mb {sh.first_mb_in_slice}) parse "
+                         f"error, concealing rest: {type(e).__name__}: {e}")
+        complete = bool(fs.mb_correct.all())
         st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred)
         deblock_frame(st, fs)
+        if not complete:
+            from .ec import implement_error_con
+            prev = getattr(self, "prev_decoded", None)
+            implement_error_con(self.ec_mode, st, fs, fs.mb_correct, prev,
+                                sh0.is_idr, ref_list0=None, cur_poc=poc)
         # store into DPB (full uncropped planes; refs must keep MB grid)
         pic = Picture(0, st.y, st.u, st.v, frame_num=sh0.frame_num, poc=poc,
                       is_ref=sh0.nal.nal_ref_idc != 0, is_idr=sh0.is_idr)
@@ -153,6 +225,10 @@ class H264Decoder:
         self.prev_decoded = pic
         if sh0.is_idr:
             self._cvs_counter = getattr(self, "_cvs_counter", -1) + 1
+        if not complete:
+            # EC'd pictures stay in the DPB as refs but are not emitted
+            # (see class docstring for the reference-flow reason)
+            return None
         y, u, v = self._crop(sps, st)
         return DecodedFrame(y, u, v, poc=poc, frame_num=sh0.frame_num,
                             is_idr=sh0.is_idr,

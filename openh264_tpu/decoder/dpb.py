@@ -83,13 +83,20 @@ class DPB:
 
     def reorder_list(self, lst: list[Picture], mods, cur_frame_num: int,
                      num_active: int) -> list[Picture]:
-        """§8.2.4.3 ref_pic_list_modification."""
+        """§8.2.4.3 ref_pic_list_modification — the exact spec shifting
+        algorithm. The same picture may legitimately appear MULTIPLE
+        times in the final list (e.g. mods that name one picNum twice);
+        entries may be None when the DPB holds fewer refs than
+        num_active (callers clamp such ref_idx to 0 like the reference's
+        EC path). Parity: manage_dec_ref.cpp WelsReorderRefList:385."""
+        L: list = lst[:num_active]
         if not mods:
-            return lst[:num_active]
-        lst = lst[:]  # working copy, may be shorter than num_active refs
+            return L
+        while len(L) < num_active:
+            L.append(None)
         max_pic_num = self.max_frame_num  # frame coding: MaxPicNum == MaxFrameNum
         pred = cur_frame_num              # CurrPicNum
-        idx = 0
+        ref_idx = 0
         for op, val in mods:
             if op in (0, 1):
                 diff = val + 1
@@ -111,6 +118,10 @@ class DPB:
                         break
                 if target is None:
                     continue
+
+                def same(p, t=target):
+                    return (p is not None and p.is_ref and not p.is_long_term
+                            and p.pic_num == t.pic_num)
             else:  # op == 2: long-term
                 target = None
                 for p in self.long_term():
@@ -119,11 +130,18 @@ class DPB:
                         break
                 if target is None:
                     continue
-            if target in lst:
-                lst.remove(target)
-            lst.insert(idx, target)
-            idx += 1
-        return lst[:num_active]
+
+                def same(p, t=target):
+                    return (p is not None and p.is_ref and p.is_long_term
+                            and p.long_term_pic_num == t.long_term_pic_num)
+            # §8.2.4.3.1/.2: insert at ref_idx (list temporarily
+            # num_active+1 long), then drop later entries matching the
+            # target's pic num, then truncate back to num_active
+            L.insert(ref_idx, target)
+            ref_idx += 1
+            tail = [p for p in L[ref_idx:] if not same(p)]
+            L = (L[:ref_idx] + tail)[:num_active]
+        return L
 
     # ---- marking ----
     def store_picture(self, pic: Picture, sh) -> None:

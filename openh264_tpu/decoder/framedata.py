@@ -73,6 +73,12 @@ class FrameSymbols:
         # mapping refidx -> DPB picture id, per list, per slice; recon uses
         # per-MB resolved picture indices:
         self.ref_pic = np.full((n, 2, 4), -1, dtype=np.int32)
+        # per-slice weighted-prediction descriptors (decoder/wpred.py)
+        self.wp_by_slice = None
+        # per-MB correctly-decoded flags (pMbCorrectlyDecodedFlag analog).
+        # Defaults to all-True (producers like the encoder fill every MB);
+        # the decoder clears it per picture and marks MBs as slices land.
+        self.mb_correct = np.ones(n, dtype=bool)
 
     def ensure_coeffs8(self):
         if self.coeffs8 is None:

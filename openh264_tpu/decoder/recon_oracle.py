@@ -50,9 +50,12 @@ def recon_intra_frame(fs: FrameSymbols, constrained: bool = False) -> ReconState
 def recon_frame(fs: FrameSymbols, ref_pics: dict, constrained: bool = False) -> ReconState:
     """Full-frame reconstruction. ref_pics: pic_id -> Picture (planes)."""
     st = ReconState(fs)
+    correct = getattr(fs, "mb_correct", None)
     for mby in range(fs.mb_h):
         for mbx in range(fs.mb_w):
             idx = mby * fs.mb_w + mbx
+            if correct is not None and not correct[idx]:
+                continue  # un-decoded/aborted MB: EC fills it later
             t = fs.mb_type[idx]
             if t in INTRA_CLASSES:
                 recon_intra_mb(st, idx, constrained)
@@ -61,13 +64,38 @@ def recon_frame(fs: FrameSymbols, ref_pics: dict, constrained: bool = False) -> 
     return st
 
 
+def _apply_biweight(wp, y0p, u0p, v0p, y1p, u1p, v1p, r0, r1):
+    """BiWeightPrediction (rec_mb.cpp:366): explicit (idc==1) takes
+    per-list weights+offsets; implicit (idc==2) takes the POC table."""
+    from ..oracle.mc import biweight_pred
+    from .wpred import WP_B_EXPLICIT, implicit_weights
+
+    if wp.mode == WP_B_EXPLICIT:
+        lw0, lo0 = wp.luma_w(0, r0)
+        lw1, lo1 = wp.luma_w(1, r1)
+        py = biweight_pred(y0p, y1p, lw0, lw1, lo0, lo1, wp.luma_denom)
+        cw00, co00 = wp.chroma_w(0, r0, 0)
+        cw01, co01 = wp.chroma_w(1, r1, 0)
+        pu = biweight_pred(u0p, u1p, cw00, cw01, co00, co01, wp.chroma_denom)
+        cw10, co10 = wp.chroma_w(0, r0, 1)
+        cw11, co11 = wp.chroma_w(1, r1, 1)
+        pv = biweight_pred(v0p, v1p, cw10, cw11, co10, co11, wp.chroma_denom)
+    else:
+        w0, w1 = implicit_weights(wp, r0, r1)
+        py = biweight_pred(y0p, y1p, w0, w1, 0, 0, 5)
+        pu = biweight_pred(u0p, u1p, w0, w1, 0, 0, 5)
+        pv = biweight_pred(v0p, v1p, w0, w1, 0, 0, 5)
+    return py, pu, pv
+
+
 def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
     """Inter prediction + residual for one MB, per 4x4 block.
 
     Per-4x4 MC is bit-identical to per-partition MC (the 6-tap/bilinear
     filters are position-local), mirroring rec_mb.cpp GetInterPred:462.
     """
-    from ..oracle.mc import bi_avg, mc_chroma, mc_luma
+    from ..oracle.mc import bi_avg, mc_chroma, mc_luma, weight_pred
+    from .wpred import WP_B_EXPLICIT, WP_B_IMPLICIT, WP_P_EXPLICIT
 
     fs = st.fs
     mbx, mby = idx % fs.mb_w, idx // fs.mb_w
@@ -75,6 +103,12 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
     cx0, cy0 = mbx * 8, mby * 8
     from .framedata import MB_B16x8, MB_B8x16
     mt = int(fs.mb_type[idx])
+    wp = None
+    if fs.wp_by_slice is not None:
+        sid = int(fs.slice_id[idx])
+        if 0 <= sid < len(fs.wp_by_slice):
+            w = fs.wp_by_slice[sid]
+            wp = w if w.mode else None
     pred_y = np.zeros((16, 16), np.uint8)
     for blk in range(16):
         bx, by = blk % 4, blk // 4
@@ -85,11 +119,15 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
         # first partition the L1 MC overwrites the L0 prediction in place
         # before a self-average, and for the second partition a doubled
         # destination offset sends the average outside the partition
-        # (later overwritten). Net effect: part0 BI -> L1-only, part1 BI
-        # -> L0-only. The conformance goldens and the reference's own
-        # SHA-1 table embody this, so we replicate it for bit-exactness.
+        # (later overwritten). Net effect: part0 BI -> L1-only (still
+        # passed twice through BiWeightPrediction when weighting is on),
+        # part1 BI -> plain unweighted L0. The conformance goldens and
+        # the reference's own SHA-1 table embody this, so we replicate
+        # it for bit-exactness.
+        quirk = None  # None | "self-bi" | "plain-l0"
         if pm == 2 and mt in (MB_B16x8, MB_B8x16):
             second = (by >= 2) if mt == MB_B16x8 else (bx >= 2)
+            quirk = "plain-l0" if second else "self-bi"
             pm = 0 if second else 1
         preds_y = []
         preds_u = []
@@ -101,9 +139,36 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
             preds_y.append(mc_luma(ref.y, mvx, mvy, x0 + bx * 4, y0 + by * 4, 4, 4))
             preds_u.append(mc_chroma(ref.u, mvx, mvy, cx0 + bx * 2, cy0 + by * 2, 2, 2))
             preds_v.append(mc_chroma(ref.v, mvx, mvy, cx0 + bx * 2, cy0 + by * 2, 2, 2))
-        py = preds_y[0] if len(preds_y) == 1 else bi_avg(preds_y[0], preds_y[1])
-        pu = preds_u[0] if len(preds_u) == 1 else bi_avg(preds_u[0], preds_u[1])
-        pv = preds_v[0] if len(preds_v) == 1 else bi_avg(preds_v[0], preds_v[1])
+        if len(preds_y) == 1:
+            py, pu, pv = preds_y[0], preds_u[0], preds_v[0]
+            if wp is not None and quirk == "self-bi" and \
+                    wp.mode in (WP_B_EXPLICIT, WP_B_IMPLICIT):
+                # BiWeightPrediction applied with both inputs = the L1 MC
+                r0 = int(fs.refidx[idx, 0, q])
+                r1 = int(fs.refidx[idx, 1, q])
+                py, pu, pv = _apply_biweight(wp, py, pu, pv, py, pu, pv,
+                                             r0, r1)
+            elif wp is not None and quirk is None and \
+                    wp.mode in (WP_P_EXPLICIT, WP_B_EXPLICIT):
+                r = int(fs.refidx[idx, pm, q])
+                d, dc = wp.luma_denom, wp.chroma_denom
+                lw, lo = wp.luma_w(pm, r)
+                py = weight_pred(py, lw, lo, d)
+                cw0, co0 = wp.chroma_w(pm, r, 0)
+                pu = weight_pred(pu, cw0, co0, dc)
+                cw1, co1 = wp.chroma_w(pm, r, 1)
+                pv = weight_pred(pv, cw1, co1, dc)
+        else:
+            if wp is not None and wp.mode in (WP_B_EXPLICIT, WP_B_IMPLICIT):
+                r0 = int(fs.refidx[idx, 0, q])
+                r1 = int(fs.refidx[idx, 1, q])
+                py, pu, pv = _apply_biweight(
+                    wp, preds_y[0], preds_u[0], preds_v[0],
+                    preds_y[1], preds_u[1], preds_v[1], r0, r1)
+            else:
+                py = bi_avg(preds_y[0], preds_y[1])
+                pu = bi_avg(preds_u[0], preds_u[1])
+                pv = bi_avg(preds_v[0], preds_v[1])
         pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = py
         # accumulate the 8x8 chroma prediction; residual is added per
         # chroma 4x4 block after the loop (IDCT operates on 4x4)

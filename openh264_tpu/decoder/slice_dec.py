@@ -340,7 +340,8 @@ def _finish_inter_mb(ctx: SliceDecodeContext, mb_idx: int) -> None:
         for lx, rl in ((0, ctx.ref_list0), (1, ctx.ref_list1)):
             r = int(fs.gref[lx, qy, qx])
             fs.refidx[mb_idx, lx, q] = r
-            fs.ref_pic[mb_idx, lx, q] = rl[r].pic_id if 0 <= r < len(rl) else -1
+            fs.ref_pic[mb_idx, lx, q] = rl[r].pic_id \
+                if (0 <= r < len(rl) and rl[r] is not None) else -1
         r0 = fs.refidx[mb_idx, 0, q]
         r1 = fs.refidx[mb_idx, 1, q]
         fs.pred_mode[mb_idx, q] = (2 if (r0 >= 0 and r1 >= 0) else
@@ -378,7 +379,7 @@ def _read_ref_idx(br: BitReader, num_active: int, rl=None) -> int:
     # invalid/missing ref -> conceal with ref 0 and keep decoding, like
     # the reference with EC active (parse_mb_syn_cavlc/ cabac
     # "error ref_idx" paths, e.g. parse_mb_syn_cabac.cpp:545-553)
-    if rl is not None and not (0 <= r < len(rl)):
+    if rl is not None and not (0 <= r < len(rl) and rl[r] is not None):
         return 0
     return r
 
@@ -452,11 +453,17 @@ def decode_p_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
     mvc.set_partition(gx, gy, 4, 4, 1, -1, np.zeros(2, np.int32))
     _finish_inter_mb(ctx, mb_idx)
 
+    # NoSubMbPartSizeLessThan8x8Flag (7.3.5): only P_L0_8x8 sub types
+    # keep the 8x8 transform legal (parse_mb_syn_cavlc.cpp:1229)
+    t8_allowed = (mb_type_raw < 3) or all(t == 0 for t in sub_types)
     cbp_code = br.ue()
     if cbp_code >= 48:
         raise ValueError("invalid inter cbp")
     cbp = int(CBP_INTER[cbp_code])
     fs.cbp[mb_idx] = cbp
+    # inter transform_size_8x8_flag (7.3.5; decode_slice.cpp:2278-2288)
+    if (cbp & 15) and sh.pps.transform_8x8_mode and t8_allowed:
+        fs.transform8[mb_idx] = bool(br.u(1))
     if cbp:
         parse_mb_residual_cavlc(br, ctx, mb_idx, cbp, is_i16=False)
     else:
@@ -629,11 +636,18 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
                     mvc.set_partition(px, py, pw, ph, lx, refs[q][lx], mv)
     _finish_inter_mb(ctx, mb_idx)
 
+    # NoSubMbPartSizeLessThan8x8Flag for B (7.3.5): B_8x8 keeps it true
+    # only for 8x8-shaped subs (direct counts as 8x8 under the reference's
+    # part-count table, wels_common_basis.h g_ksInterBSubMbTypeInfo);
+    # B_Direct_16x16 stays allowed (decode_slice.cpp:2825 "|| noSub")
+    t8_allowed = (mb_type_raw != 22) or all(t <= 3 for t in sub_types)
     cbp_code = br.ue()
     if cbp_code >= 48:
         raise ValueError("invalid inter cbp")
     cbp = int(CBP_INTER[cbp_code])
     fs.cbp[mb_idx] = cbp
+    if (cbp & 15) and sh.pps.transform_8x8_mode and t8_allowed:
+        fs.transform8[mb_idx] = bool(br.u(1))
     if cbp:
         parse_mb_residual_cavlc(br, ctx, mb_idx, cbp, is_i16=False)
     else:
@@ -653,6 +667,7 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
             mb_type_raw = br.ue()
             _mb_common_init(ctx, mb_idx)
             decode_i_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
+            fs.mb_correct[mb_idx] = True
             mb_idx += 1
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
@@ -668,6 +683,7 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
                     decode_b_skip_mb(ctx, mb_idx)
                 else:
                     decode_p_skip_mb(ctx, mb_idx)
+                fs.mb_correct[mb_idx] = True
                 mb_idx += 1
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
@@ -676,6 +692,7 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
                 decode_b_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
             else:
                 decode_p_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
+            fs.mb_correct[mb_idx] = True
             mb_idx += 1
         return mb_idx
     raise NotImplementedError(f"slice type {sh.slice_type} parse")

@@ -273,7 +273,7 @@ class CabacSliceDecoder:
         """Conceal out-of-range / missing refs with ref 0 (reference EC
         path, parse_mb_syn_cabac.cpp:545-553)."""
         rl = self.ctx.ref_list0 if lx == 0 else self.ctx.ref_list1
-        return r if 0 <= r < len(rl) else 0
+        return r if (0 <= r < len(rl) and rl[r] is not None) else 0
 
     def note_ref(self, lx, gx, gy, pw, ph, ref) -> None:
         """Record a parsed ref_idx in the neighbor grids before its MVs
@@ -702,8 +702,13 @@ def _decode_p_mb_cabac(dec: CabacSliceDecoder, mb_idx: int) -> None:
                                    _read_mvd_pair(dec, mb_idx, 0, px, py))
     mvc.set_partition(gx, gy, 4, 4, 1, -1, np.zeros(2, np.int32))
     _finish_inter_mb(ctx, mb_idx)
+    # NoSubMbPartSizeLessThan8x8Flag (parse_mb_syn_cabac.cpp:642)
+    t8_allowed = (raw < 3) or all(t == 0 for t in subs)
     cbp = dec.cbp(mb_idx)
     fs.cbp[mb_idx] = cbp
+    # inter transform_size_8x8_flag (decode_slice.cpp:950-961)
+    if (cbp & 15) and sh.pps.transform_8x8_mode and t8_allowed:
+        fs.transform8[mb_idx] = dec.transform8_flag(mb_idx)
     if cbp:
         _store_mb_residual_cabac(dec, mb_idx, cbp, is_i16=False)
     else:
@@ -821,8 +826,13 @@ def _decode_b_mb_cabac(dec: CabacSliceDecoder, mb_idx: int) -> None:
                                        refs[q][lx],
                                        _read_mvd_pair(dec, mb_idx, lx, px, py))
     _finish_inter_mb(ctx, mb_idx)
+    # (16x16 || direct || 16x8 || 8x16 || noSubLessThan8x8) per the
+    # reference CABAC B condition (decode_slice.cpp:1190-1202)
+    t8_allowed = (raw <= 21) or all(t <= 3 for t in subs_raw)
     cbp = dec.cbp(mb_idx)
     fs.cbp[mb_idx] = cbp
+    if (cbp & 15) and sh.pps.transform_8x8_mode and t8_allowed:
+        fs.transform8[mb_idx] = dec.transform8_flag(mb_idx)
     if cbp:
         _store_mb_residual_cabac(dec, mb_idx, cbp, is_i16=False)
     else:
@@ -878,6 +888,7 @@ def decode_slice_data_cabac(rbsp: bytes, bitpos: int,
                 _decode_b_mb_cabac(dec, mb_idx)
         else:
             raise NotImplementedError(f"CABAC slice type {st}")
+        fs.mb_correct[mb_idx] = True
         mb_idx += 1
         if dec.eng.terminate():  # end_of_slice_flag
             break

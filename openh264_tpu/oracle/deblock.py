@@ -183,6 +183,9 @@ def deblock_frame(st, fs) -> None:
             idx = mby * fs.mb_w + mbx
             if fs.mb_type[idx] < 0:
                 continue
+            correct = getattr(fs, "mb_correct", None)
+            if correct is not None and not correct[idx]:
+                continue  # EC'd MB: not deblocked (filled after deblock)
             if fs.disable_deblock[idx] == 1:
                 continue
             qp_cur = int(fs.qp[idx])
@@ -196,6 +199,9 @@ def deblock_frame(st, fs) -> None:
             same_slice_top = mby > 0 and (
                 fs.disable_deblock[idx] != 2 or
                 fs.slice_id[idx - fs.mb_w] == fs.slice_id[idx])
+            if correct is not None:
+                same_slice_left = same_slice_left and correct[idx - 1]
+                same_slice_top = same_slice_top and correct[idx - fs.mb_w]
 
             for vertical in (True, False):
                 for edge in range(4):
