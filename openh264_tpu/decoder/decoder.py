@@ -18,7 +18,7 @@ from ..bitstream import (BitReader, split_annexb, NAL_SPS, NAL_PPS, NAL_IDR,
 from .dpb import DPB, Picture, PocContext
 from .framedata import FrameSymbols
 from .params import parse_pps, parse_sps
-from .recon_oracle import recon_frame
+from .recon_batch import recon_frame_batch as recon_frame
 from .slice_dec import SliceDecodeContext, decode_slice_data_cavlc
 from .slicehdr import parse_slice_header, I_SLICE, P_SLICE, B_SLICE
 from ..oracle.deblock import deblock_frame

@@ -177,6 +177,8 @@ def _bs_mv(fs, bpx, bpy, bqx, bqy) -> int:
 
 def deblock_frame(st, fs) -> None:
     """In-place deblock of decoded planes. st: ReconState, fs: FrameSymbols."""
+    from .deblock_bs import precompute_bs
+    BSV, BSH = precompute_bs(fs)
     y, u, v = st.y, st.u, st.v
     for mby in range(fs.mb_h):
         for mbx in range(fs.mb_w):
@@ -220,7 +222,10 @@ def deblock_frame(st, fs) -> None:
                         # MBs with no coeffs is an optimization; bS calc
                         # handles it naturally.
                         qp_nb = qp_cur
-                    bs4 = compute_bs_edge(fs, idx, edge, vertical)
+                    if vertical:
+                        bs4 = BSV[mby * 4:mby * 4 + 4, mbx * 4 + edge]
+                    else:
+                        bs4 = BSH[mby * 4 + edge, mbx * 4:mbx * 4 + 4]
                     if not bs4.any():
                         continue
                     qpav = (qp_cur + qp_nb + 1) >> 1
