@@ -210,7 +210,8 @@ class H264Decoder:
                          f"slice {si} (first_mb {sh.first_mb_in_slice}) parse "
                          f"error, concealing rest: {type(e).__name__}: {e}")
         complete = bool(fs.mb_correct.all())
-        st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred)
+        st = recon_frame(fs, ref_pics, sh0.pps.constrained_intra_pred,
+                         device=self.use_jax_recon)
         deblock_frame(st, fs)
         if not complete:
             from .ec import implement_error_con

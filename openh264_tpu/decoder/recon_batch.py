@@ -348,12 +348,19 @@ def _recon_inter_batch(st: ReconState, fs: FrameSymbols,
     predB_u = np.zeros((B, 2, 2), np.uint8)
     predB_v = np.zeros((B, 2, 2), np.uint8)
 
-    mc_luma = _mc_luma_batch
-    mc_chroma = _mc_chroma_batch
     if device:
-        from ..ops.recon_jax import mc_luma_batch_jax, mc_chroma_batch_jax
-        mc_luma = mc_luma_batch_jax
-        mc_chroma = mc_chroma_batch_jax
+        from ..ops.recon_jax import (mc_luma_batch_jax, mc_chroma_batch_jax,
+                                     _plane_i32)
+        mc_luma, mc_chroma = mc_luma_batch_jax, mc_chroma_batch_jax
+
+        def planes_of(ref):
+            return (_plane_i32(ref, 'y'), _plane_i32(ref, 'u'),
+                    _plane_i32(ref, 'v'))
+    else:
+        mc_luma, mc_chroma = _mc_luma_batch, _mc_chroma_batch
+
+        def planes_of(ref):
+            return ref.y, ref.u, ref.v
 
     for dst_y, dst_u, dst_v, pids, mvs, sel in (
             (predA_y, predA_u, predA_v, pidA, mvA, np.ones(B, bool)),
@@ -362,12 +369,13 @@ def _recon_inter_batch(st: ReconState, fs: FrameSymbols,
             if pid < 0:
                 continue
             ref = ref_pics[int(pid)]
+            py, pu, pv = planes_of(ref)
             m = sel & (pids == pid)
-            dst_y[m] = mc_luma(ref.y, x0[m], y0[m], mvs[m, 0], mvs[m, 1])
+            dst_y[m] = mc_luma(py, x0[m], y0[m], mvs[m, 0], mvs[m, 1])
             cx = (x0[m] >> 1)
             cy = (y0[m] >> 1)
-            dst_u[m] = mc_chroma(ref.u, cx, cy, mvs[m, 0], mvs[m, 1])
-            dst_v[m] = mc_chroma(ref.v, cx, cy, mvs[m, 0], mvs[m, 1])
+            dst_u[m] = mc_chroma(pu, cx, cy, mvs[m, 0], mvs[m, 1])
+            dst_v[m] = mc_chroma(pv, cx, cy, mvs[m, 0], mvs[m, 1])
 
     out_y = _combine(kind, predA_y, predB_y, w0, o0, w1, o1, dl)
     out_u = _combine(kind, predA_u, predB_u, cw0[0], co0[0], cw1[0], co1[0], dc)
