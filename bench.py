@@ -1,70 +1,123 @@
-"""Benchmark: 720p P-frame encode core throughput on the current device.
+"""Benchmark: END-TO-END 720p encode throughput vs the reference
+encoder measured live on the same host.
 
-Measures the flagship jitted compute step — full-pel MXU motion search +
-quarter-pel refinement + transforms + reconstruction over all 3600 MBs of
-a 1280x720 frame (openh264_tpu/encoder/core_jax.py:encode_p_frame), i.e.
-the stage that holds >99% of the reference encoder's cycles
-(SURVEY.md §3.2 per-MB hot loop).
-
-Baseline: reference openh264 v2.6.0 `h264enc` (x86 SIMD build, single
-thread, 720p IPPP, RC off, QP 26, measured on this machine's host CPU —
-see BASELINE.md "Baseline protocol"). vs_baseline = our fps / ref fps.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Protocol (BASELINE.md #3 adapted): synthesize a 720p clip by 4x
+upsampling res/CiscoVT2people_320x192_12fps.yuv, then
+  1. run the reference `h264enc` (no-asm build in .ref_build/src) on it
+     single-layer IPPP CAVLC and record its fps (live baseline on THIS
+     host — the historical 36.8 fps constant was a different machine);
+  2. run our encoder end-to-end (jitted TPU core + vectorized CAVLC +
+     native deblock/bitpack) on the same frames, excluding one warmup
+     frame (compile), and record fps.
+Prints ONE JSON line. vs_baseline = ours / live reference fps (falls
+back to the stored REF_FPS_720P when the reference binary is absent).
 """
 
-import functools
 import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
 import time
 
 import numpy as np
 
-# Reference h264enc 720p single-thread fps measured on the build host
-# (`.ref_build/src/h264enc welsenc720.cfg -frms 60`: no-asm build, the
-# only one buildable here — nasm is not installed; the SIMD build would
-# be ~3x faster). 60 frames, IPPP, RC off, QP 26, deblock on.
-REF_FPS_720P = 36.8
+REF_FPS_720P_STORED = 36.8  # no-asm h264enc, round-1 build host
+W, H = 1280, 720
+N_FRAMES = 9
+
+
+def synth_720p(path):
+    src = open('/root/reference/res/CiscoVT2people_320x192_12fps.yuv',
+               'rb').read()
+    fsz = 320 * 192 * 3 // 2
+    n = min(len(src) // fsz, N_FRAMES)
+    with open(path, 'wb') as out:
+        for i in range(n):
+            f = src[i * fsz:(i + 1) * fsz]
+            y = np.frombuffer(f[:320 * 192], np.uint8).reshape(192, 320)
+            u = np.frombuffer(f[320 * 192:320 * 192 * 5 // 4],
+                              np.uint8).reshape(96, 160)
+            v = np.frombuffer(f[320 * 192 * 5 // 4:], np.uint8).reshape(96, 160)
+            out.write(np.kron(y, np.ones((4, 4), np.uint8))[:H, :W].tobytes())
+            out.write(np.kron(u, np.ones((4, 4), np.uint8))[:H // 2, :W // 2].tobytes())
+            out.write(np.kron(v, np.ones((4, 4), np.uint8))[:H // 2, :W // 2].tobytes())
+    return n
+
+
+def ref_fps_live(yuv, nframes):
+    enc = os.path.join(os.path.dirname(__file__), '.ref_build/src/h264enc')
+    if not os.path.exists(enc):
+        return None
+    tmp = tempfile.mkdtemp()
+    try:
+        for cfg in ('welsenc.cfg', 'layer2.cfg'):
+            shutil.copy(f'/root/reference/testbin/{cfg}', tmp)
+        def patch(fn, subs):
+            p = os.path.join(tmp, fn)
+            s = open(p).read()
+            for pat, rep in subs:
+                s = re.sub(pat, rep, s, flags=re.M)
+            open(p, 'w').write(s)
+        patch('welsenc.cfg', [(r'^SourceWidth.*', 'SourceWidth 1280'),
+                              (r'^SourceHeight.*', 'SourceHeight 720'),
+                              (r'^TemporalLayerNum.*', 'TemporalLayerNum 1')])
+        patch('layer2.cfg', [(r'^FrameWidth.*', 'FrameWidth 1280'),
+                             (r'^FrameHeight.*', 'FrameHeight 720')])
+        r = subprocess.run(
+            [enc, 'welsenc.cfg', '-org', yuv, '-frms', str(nframes),
+             '-bf', os.path.join(tmp, 'out.264')],
+            cwd=tmp, capture_output=True, timeout=600, text=True)
+        m = re.search(r'FPS:\s*([0-9.]+)', r.stderr + r.stdout)
+        return float(m.group(1)) if m else None
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def our_fps(yuv, nframes):
+    from openh264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+    fsz = W * H * 3 // 2
+    raw = open(yuv, 'rb').read()
+    frames = []
+    for i in range(nframes):
+        f = raw[i * fsz:(i + 1) * fsz]
+        frames.append((
+            np.frombuffer(f[:W * H], np.uint8).reshape(H, W),
+            np.frombuffer(f[W * H:W * H * 5 // 4], np.uint8).reshape(H // 2, W // 2),
+            np.frombuffer(f[W * H * 5 // 4:], np.uint8).reshape(H // 2, W // 2)))
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26))
+    # warmup: compile the I and P cores
+    enc.encode_frame(*frames[0])
+    enc.encode_frame(*frames[1 % len(frames)])
+    t0 = time.perf_counter()
+    n = 0
+    for i in range(2, nframes):
+        enc.encode_frame(*frames[i])
+        n += 1
+    # keep timing window reasonable: loop the clip once more
+    for i in range(1, nframes):
+        enc.encode_frame(*frames[i])
+        n += 1
+    dt = time.perf_counter() - t0
+    return n / dt
 
 
 def main():
-    import jax
-    from openh264_tpu.encoder import core_jax
-
-    W, H = 1280, 720
-    mb_w, mb_h = W // 16, H // 16
-    rng = np.random.default_rng(0)
-
-    # moderately correlated content (upsampled noise) so ME/quant paths
-    # do representative work rather than all-skip or all-max-residual
-    def plane(h, w):
-        base = rng.integers(0, 256, (h // 4, w // 4), np.uint8)
-        return np.kron(base, np.ones((4, 4), np.uint8))
-
-    y, u, v = plane(H, W), plane(H // 2, W // 2), plane(H // 2, W // 2)
-    ry = np.roll(y, (2, 3), axis=(0, 1))
-    ru = np.roll(u, (1, 1), axis=(0, 1))
-    rv = np.roll(v, (1, 2), axis=(0, 1))
-
-    fn = jax.jit(functools.partial(core_jax.encode_p_frame,
-                                   mb_w=mb_w, mb_h=mb_h, sr=8),
-                 static_argnames=())
-    args = (y, u, v, ry, ru, rv, 26, 26)
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warmup
-
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = n_iter / dt
-
+    yuv = '/tmp/bench_in720.yuv'
+    n = synth_720p(yuv)
+    ref = ref_fps_live(yuv, n)
+    if ref is None:
+        ref = REF_FPS_720P_STORED
+    ours = our_fps(yuv, n)
     print(json.dumps({
-        "metric": "encode_p_core_720p_fps",
-        "value": round(fps, 2),
+        "metric": "encode_720p_e2e_fps",
+        "value": round(ours, 3),
         "unit": "frames/s/chip",
-        "vs_baseline": round(fps / REF_FPS_720P, 3),
+        "vs_baseline": round(ours / ref, 4),
     }))
 
 

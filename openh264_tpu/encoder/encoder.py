@@ -502,6 +502,27 @@ class H264Encoder:
                        reorder_abs_diff: int | None = None) -> bytes:
         cfg = self.cfg
         mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        w = BitWriter()
+        write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,
+                           0, disable_deblock=cfg.deblock_idc,
+                           is_ref=is_ref, reorder_abs_diff=reorder_abs_diff)
+        if cfg.entropy_cabac:
+            self._write_p_slice_cabac(w, out)
+            return w.get_bytes()
+        # vectorized whole-frame CAVLC writer (cavlc_vec.py)
+        from .cavlc_vec import write_p_slice_tokens, assemble_rbsp
+        hdr_bits = w.bit_array()
+        av, al, tv, tl = write_p_slice_tokens(out, mb_w, mb_h)
+        groups = [(av, al)]
+        if tv is not None:
+            groups.append((tv, tl))
+        return assemble_rbsp(hdr_bits, groups)
+
+    def _write_p_slice_scalar(self, out, is_ref: bool = True,
+                              reorder_abs_diff: int | None = None) -> bytes:
+        """Per-MB reference implementation (oracle for cavlc_vec)."""
+        cfg = self.cfg
+        mb_w, mb_h = cfg.mb_width, cfg.mb_height
         n_mb = mb_w * mb_h
         w = BitWriter()
         write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,

@@ -179,6 +179,10 @@ def deblock_frame(st, fs) -> None:
     """In-place deblock of decoded planes. st: ReconState, fs: FrameSymbols."""
     from .deblock_bs import precompute_bs
     BSV, BSH = precompute_bs(fs)
+    offs = getattr(fs, "chroma_qp_offsets", (0, 0))
+    from ..native import deblock_frame_native
+    if deblock_frame_native(st, fs, BSV, BSH, offs):
+        return
     y, u, v = st.y, st.u, st.v
     for mby in range(fs.mb_h):
         for mbx in range(fs.mb_w):

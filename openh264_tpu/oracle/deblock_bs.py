@@ -96,6 +96,13 @@ def precompute_bs(fs):
     g_intra, used, rp, mv = _block_grids(fs)
     H4, W4 = g_intra.shape
     nz = fs.nzc_l > 0
+    # 8x8-transform MBs: the nonzero condition uses the covering 8x8
+    # block's OR when BOTH sides of the edge are in t8 MBs
+    # (deblocking.cpp:243 DeblockingBSInsideMBAvsbase8x8, :463 marginal
+    # both-t8 case)
+    t8g = _expand_mb_to_blocks(fs.transform8.astype(bool), fs.mb_h, fs.mb_w)
+    q_or = nz.reshape(H4 // 2, 2, W4 // 2, 2).any((1, 3))
+    nz8 = np.repeat(np.repeat(q_or, 2, 0), 2, 1)
 
     BSV = np.zeros((H4, W4), np.int32)
     BSH = np.zeros((H4, W4), np.int32)
@@ -121,8 +128,9 @@ def precompute_bs(fs):
             (mv[0][ip], mv[1][ip]),
             (used[0][iq], used[1][iq]), (rp[0][iq], rp[1][iq]),
             (mv[0][iq], mv[1][iq]))
-        nz2 = nz[iq] | nz[ip]
-        bs = np.where(nz2, 2, bs)
+        nzp = np.where(t8g[ip], nz8[ip], nz[ip])
+        nzq = np.where(t8g[iq], nz8[iq], nz[iq])
+        bs = np.where(nzp | nzq, 2, bs)
         # intra rules override
         bs = np.where(mbb & (intra_p | intra_q), 4, bs)
         bs = np.where(~mbb & intra_q, 3, bs)
