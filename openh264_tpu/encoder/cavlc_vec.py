@@ -179,10 +179,14 @@ def bits_to_rbsp(prefix_bits: np.ndarray, body_bits: np.ndarray) -> bytes:
     return np.packbits(all_bits).tobytes()
 
 
-def _mvp_p16x16(mv: np.ndarray, mb_w: int, mb_h: int):
+def _mvp_p16x16(mv: np.ndarray, mb_w: int, mb_h: int, intra=None):
     """Vectorized §8.4.1.3 median MVP and §8.4.1.1 skip-MV for a frame
-    of all-inter P16x16 ref-0 MBs (single slice). mv: [mb_h, mb_w, 2].
-    Returns (mvp [mb_h,mb_w,2], skip_mv [mb_h,mb_w,2])."""
+    of P16x16 ref-0 MBs (single slice), optionally with intra MBs whose
+    neighbors count as available-but-ref-mismatched (mv contribution 0).
+    mv: [mb_h, mb_w, 2]. Returns (mvp, skip_mv) [mb_h,mb_w,2]."""
+    if intra is None:
+        intra = np.zeros((mb_h, mb_w), bool)
+    mv = np.where(intra[..., None], 0, mv)
     z = np.zeros_like(mv)
     availA = np.zeros((mb_h, mb_w), bool)
     availA[:, 1:] = True
@@ -192,32 +196,39 @@ def _mvp_p16x16(mv: np.ndarray, mb_w: int, mb_h: int):
     availC[1:, :-1] = True
     availD = np.zeros((mb_h, mb_w), bool)
     availD[1:, 1:] = True
-    mvA = z.copy()
-    mvA[:, 1:] = mv[:, :-1]
-    mvB = z.copy()
-    mvB[1:, :] = mv[:-1, :]
-    mvC = z.copy()
-    mvC[1:, :-1] = mv[:-1, 1:]  # top-right (previous row, next col)
-    mvD = z.copy()
-    mvD[1:, 1:] = mv[:-1, :-1]
+
+    mvA = z.copy();  mvA[:, 1:] = mv[:, :-1]
+    mvB = z.copy();  mvB[1:, :] = mv[:-1, :]
+    mvC = z.copy();  mvC[1:, :-1] = mv[:-1, 1:]  # top-right
+    mvD = z.copy();  mvD[1:, 1:] = mv[:-1, :-1]
+    inA = np.zeros((mb_h, mb_w), bool); inA[:, 1:] = intra[:, :-1]
+    inB = np.zeros((mb_h, mb_w), bool); inB[1:, :] = intra[:-1, :]
+    inC = np.zeros((mb_h, mb_w), bool); inC[1:, :-1] = intra[:-1, 1:]
+    inD = np.zeros((mb_h, mb_w), bool); inD[1:, 1:] = intra[:-1, :-1]
     useC = availC
     mvc = np.where(useC[..., None], mvC, mvD)
     availc = availC | availD
-    n_match = availA.astype(np.int32) + availB + availc
-    # median of available (unavailable = 0)
+    intrac = np.where(useC, inC, inD)
+    # "matches" = available AND inter with ref 0 (intra -> no match)
+    matchA = availA & ~inA
+    matchB = availB & ~inB
+    matchC = availc & ~intrac
+    n_match = matchA.astype(np.int32) + matchB + matchC
+    # median of available (unavailable = 0; intra contributes mv 0)
     a = np.where(availA[..., None], mvA, 0)
     b = np.where(availB[..., None], mvB, 0)
     cc = np.where(availc[..., None], mvc, 0)
     med = a + b + cc - np.minimum(np.minimum(a, b), cc) \
         - np.maximum(np.maximum(a, b), cc)
-    one = np.where(availA[..., None], mvA,
-                   np.where(availB[..., None], mvB, mvc))
+    one = np.where(matchA[..., None], mvA,
+                   np.where(matchB[..., None], mvB, mvc))
     only_a = (~availB) & (~availc) & availA
     mvp = np.where((n_match == 1)[..., None], one,
                    np.where(only_a[..., None], mvA, med))
-    # skip MV: 0 unless both A and B exist and neither is (ref0, mv 0)
-    a_zero = availA & (mvA[..., 0] == 0) & (mvA[..., 1] == 0)
-    b_zero = availB & (mvB[..., 0] == 0) & (mvB[..., 1] == 0)
+    # skip MV: 0 unless both A and B exist and neither is (ref0, mv 0);
+    # an intra neighbor has ref -1, so it does not force zero
+    a_zero = availA & ~inA & (mvA[..., 0] == 0) & (mvA[..., 1] == 0)
+    b_zero = availB & ~inB & (mvB[..., 0] == 0) & (mvB[..., 1] == 0)
     skip_zero = (~availA) | (~availB) | a_zero | b_zero
     skip_mv = np.where(skip_zero[..., None], 0, mvp)
     return mvp, skip_mv
@@ -232,6 +243,9 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
     luma = np.asarray(out["luma_ac"], np.int32)             # [N,16,16]
     cdc = np.asarray(out["chroma_dc"], np.int32)            # [N,2,4]
     cac = np.asarray(out["chroma_ac"], np.int32)            # [N,2,4,16]
+    im = out.get("intra_mask")
+    intra = (np.asarray(im, bool).reshape(n_mb) if im is not None
+             else np.zeros(n_mb, bool))
 
     # cbp per MB
     b8map = ((np.arange(16) // 8) * 2 + (np.arange(16) % 4) // 2)  # raster->8x8
@@ -239,13 +253,16 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
     cbp_luma = np.zeros(n_mb, np.int32)
     for b8 in range(4):
         cbp_luma |= nz_blk[:, b8map == b8].any(1).astype(np.int32) << b8
+    # I16x16 MBs: cbp_luma is all-or-nothing (carried in mb_type)
+    cbp_luma = np.where(intra, np.where(nz_blk.any(1), 15, 0), cbp_luma)
     cbp_chroma = np.where(cac.reshape(n_mb, -1).any(1), 2,
                           np.where(cdc.reshape(n_mb, -1).any(1), 1, 0))
     cbp = cbp_luma | (cbp_chroma << 4)
 
-    mvp, skip_mv = _mvp_p16x16(mv, mb_w, mb_h)
+    mvp, skip_mv = _mvp_p16x16(mv, mb_w, mb_h,
+                               intra=intra.reshape(mb_h, mb_w))
     mvf = mv.reshape(n_mb, 2)
-    is_skip = (cbp == 0) & (mvf == skip_mv.reshape(n_mb, 2)).all(1)
+    is_skip = (cbp == 0) & (mvf == skip_mv.reshape(n_mb, 2)).all(1) & ~intra
 
     # skip runs: for each coded MB, number of skips since last coded
     coded_idx = np.nonzero(~is_skip)[0]
@@ -259,6 +276,8 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
         trailing_skips = int(is_skip.sum())
 
     # ---- per-MB header tokens [N, 6] ----
+    # inter: [skiprun][mb_type=ue0][mvdx][mvdy][cbp][dqp(se0) if cbp]
+    # intra: [skiprun][mb_type=ue(5+i16raw)][chroma_mode][dqp(se0)][-][-]
     hv = np.zeros((n_mb, 6), np.uint32)
     hl = np.zeros((n_mb, 6), np.uint8)
     mvd = mvf - mvp.reshape(n_mb, 2)
@@ -266,21 +285,37 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
         sv, sl_ = ue_bits(prev_coded)
         hv[coded_idx, 0] = sv
         hl[coded_idx, 0] = sl_
-        hv[coded_idx, 1], hl[coded_idx, 1] = 1, 1           # ue(0) mb_type
-        v, l = se_bits(mvd[coded_idx, 0])
-        hv[coded_idx, 2], hl[coded_idx, 2] = v, l
-        v, l = se_bits(mvd[coded_idx, 1])
-        hv[coded_idx, 3], hl[coded_idx, 3] = v, l
-        v, l = ue_bits(CBP_INTER_INV[cbp[coded_idx]])
-        hv[coded_idx, 4], hl[coded_idx, 4] = v, l
-        has_res = cbp[coded_idx] != 0
-        hv[coded_idx[has_res], 5], hl[coded_idx[has_res], 5] = 1, 1  # se(0)
+    ci_inter = coded_idx[~intra[coded_idx]] if len(coded_idx) else coded_idx
+    if len(ci_inter):
+        hv[ci_inter, 1], hl[ci_inter, 1] = 1, 1             # ue(0) mb_type
+        v, l = se_bits(mvd[ci_inter, 0])
+        hv[ci_inter, 2], hl[ci_inter, 2] = v, l
+        v, l = se_bits(mvd[ci_inter, 1])
+        hv[ci_inter, 3], hl[ci_inter, 3] = v, l
+        v, l = ue_bits(CBP_INTER_INV[cbp[ci_inter]])
+        hv[ci_inter, 4], hl[ci_inter, 4] = v, l
+        has_res = cbp[ci_inter] != 0
+        hv[ci_inter[has_res], 5], hl[ci_inter[has_res], 5] = 1, 1  # se(0)
+    ci_intra = np.nonzero(intra)[0]
+    if len(ci_intra):
+        i16m = np.asarray(out["i16_mode"], np.int64).reshape(-1)[ci_intra]
+        cmode = np.asarray(out["chroma_mode"], np.int64).reshape(-1)[ci_intra]
+        raw = 1 + i16m + 4 * cbp_chroma[ci_intra] + \
+            12 * (cbp_luma[ci_intra] != 0)
+        v, l = ue_bits(5 + raw)                              # P-slice offset
+        hv[ci_intra, 1], hl[ci_intra, 1] = v, l
+        v, l = ue_bits(cmode)
+        hv[ci_intra, 2], hl[ci_intra, 2] = v, l
+        hv[ci_intra, 3], hl[ci_intra, 3] = 1, 1              # se(0) dqp
 
     # ---- residual tokens ----
-    # nzc grids for nC contexts (final values, order-independent)
-    tc_blk = np.count_nonzero(
-        np.take_along_axis(luma, np.broadcast_to(ZIGZAG_4x4[None, None, :],
-                                                 luma.shape), 2), axis=2)
+    # nzc grids for nC contexts (final values, order-independent).
+    # Intra (I16) blocks count only their 15 AC coefficients.
+    zz_all = np.take_along_axis(
+        luma, np.broadcast_to(ZIGZAG_4x4[None, None, :], luma.shape), 2)
+    tc_blk = np.count_nonzero(zz_all, axis=2)
+    tc_blk_i16 = np.count_nonzero(zz_all[:, :, 1:], axis=2)
+    tc_blk = np.where(intra[:, None], tc_blk_i16, tc_blk)
     blk_coded = (cbp_luma[:, None] >> b8map[None, :]) & 1
     tc_blk = tc_blk * blk_coded * (~is_skip[:, None])
     nzc_l = tc_blk.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(
@@ -325,6 +360,24 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
     # blocks only written when their 8x8 is coded (and MB coded)
     wmask = (blk_coded[:, ZSCAN_TO_RASTER] & ~is_skip[:, None]).astype(bool)
     ll = ll * wmask[:, :, None]
+    # intra (I16) luma: DC block (Hadamard, 16 coeffs) + 15-coeff AC
+    dvv = np.zeros((n_mb, RES_SLOTS), np.uint32)
+    dll = np.zeros((n_mb, RES_SLOTS), np.uint8)
+    ci_intra2 = np.nonzero(intra)[0]
+    if len(ci_intra2):
+        ldc = np.asarray(out["luma_dc"], np.int32).reshape(n_mb, 16)
+        dc_scan = ldc[ci_intra2][:, ZIGZAG_4x4]
+        gx0 = (ci_intra2 % mb_w) * 4
+        gy0 = (ci_intra2 // mb_w) * 4
+        vv, lld, _ = residual_tokens(dc_scan, nc_l[gy0, gx0], 16)
+        dvv[ci_intra2] = vv
+        dll[ci_intra2] = lld
+        vv, lla, _ = residual_tokens(
+            zz_z[ci_intra2][:, :, 1:].reshape(-1, 15),
+            nc_lb[ci_intra2].reshape(-1), 15)
+        lv[ci_intra2] = vv.reshape(-1, 16, RES_SLOTS)
+        ll[ci_intra2] = lla.reshape(-1, 16, RES_SLOTS) * \
+            wmask[ci_intra2][:, :, None]
 
     # chroma DC: [N,2,4], nc = -1
     dcv, dcl, _ = residual_tokens(cdc.reshape(-1, 4),
@@ -346,12 +399,15 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
     acl = acl * (cbp_chroma == 2)[:, None, None, None]
 
     # ---- assemble stream order per MB ----
-    SL = 6 + 16 * RES_SLOTS + 2 * RES_SLOTS + 8 * RES_SLOTS
+    SL = 6 + RES_SLOTS + 16 * RES_SLOTS + 2 * RES_SLOTS + 8 * RES_SLOTS
     av = np.zeros((n_mb, SL), np.uint32)
     al = np.zeros((n_mb, SL), np.uint8)
     av[:, :6] = hv
     al[:, :6] = hl
     o = 6
+    av[:, o:o + RES_SLOTS] = dvv                            # I16 luma DC
+    al[:, o:o + RES_SLOTS] = dll
+    o += RES_SLOTS
     av[:, o:o + 16 * RES_SLOTS] = lv.reshape(n_mb, -1)
     al[:, o:o + 16 * RES_SLOTS] = ll.reshape(n_mb, -1)
     o += 16 * RES_SLOTS

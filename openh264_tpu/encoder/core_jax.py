@@ -571,16 +571,32 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
 
     src_soa = y.reshape(mb_h, 16, mb_w, 16).transpose(1, 3, 0, 2).reshape(
         16, 16, n_mb).astype(jnp.int32)                      # [16,16,N]
+
+    def satd16(d):
+        """Sum of 4x4 Hadamard-transformed |coefs| over a [16,16,N] diff
+        (reference WelsSampleSatd16x16_c via 4x4 SATD, sample.cpp:126)."""
+        b = d.reshape(4, 4, 4, 4, d.shape[-1]).transpose(
+            1, 3, 0, 2, 4).reshape(4, 4, 16, d.shape[-1])
+
+        def bf(a0, a1, a2, a3):
+            t0, t1, t2, t3 = a0 + a3, a1 + a2, a1 - a2, a0 - a3
+            return t0 + t1, t3 + t2, t0 - t1, t3 - t2
+
+        vv = jnp.stack(bf(b[0], b[1], b[2], b[3]), 0)
+        hh = jnp.stack(bf(vv[:, 0], vv[:, 1], vv[:, 2], vv[:, 3]), 1)
+        return (jnp.abs(hh).sum((0, 1, 2)) + 1) >> 1
+
     cands = [(qx, qy) for qy in range(-3, 4) for qx in range(-3, 4)]
     best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)
     best_q = jnp.zeros(n_mb, jnp.int32)
-    # SAD-only selection loop; the winning prediction is reconstructed
-    # afterwards with ONE gather (a 49-way per-candidate select chain
-    # lowers to a pathological concatenate fusion).
+    # SATD-based selection loop (parity: MeRefineFracPixel, md.cpp:575);
+    # the winning prediction is reconstructed afterwards with ONE gather
+    # (a 49-way per-candidate select chain lowers to a pathological
+    # concatenate fusion).
     for k, (qx, qy) in enumerate(cands):
         p = sub_pred(qx, qy)
-        sad = jnp.abs(src_soa - p).sum((0, 1))
-        c = sad + (lam * (abs(qx) + abs(qy))).astype(jnp.int32)
+        cost_k = satd16(src_soa - p)
+        c = cost_k + (lam * (abs(qx) + abs(qy))).astype(jnp.int32)
         better = c < best_cost
         best_cost = jnp.where(better, c, best_cost)
         best_q = jnp.where(better, k, best_q)
@@ -703,15 +719,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     dcu, acu, rec_u_plane = chroma_tx(chroma_soa(u), chroma_pred(ru))
     dcv, acv, rec_v_plane = chroma_tx(chroma_soa(v), chroma_pred(rv))
 
-    # intra-vs-inter cost: simple DC-pred intra SAD proxy
+    # intra-vs-inter cost: DC-pred intra SATD proxy, in the same metric
+    # as the refine cost (parity: WelsMdIntraMb SATD, md.cpp)
     mb_mean = (src_soa.astype(jnp.int32).sum((0, 1)) + 128) >> 8
-    intra_sad = jnp.abs(src_soa.astype(jnp.int32)
-                        - mb_mean[None, None, :]).sum((0, 1))
+    intra_satd = satd16(src_soa - mb_mean[None, None, :])
 
     return {
         "mv": best_mv,
         "inter_cost": best_cost,
-        "intra_cost_proxy": intra_sad,
+        "intra_cost_proxy": intra_satd,
         "luma_ac": lev.transpose(3, 2, 0, 1).reshape(n_mb, 16, 16),
         "chroma_dc": jnp.stack([dcu, dcv], 1),
         "chroma_ac": jnp.stack([acu, acv], 1),

@@ -42,6 +42,7 @@ class EncoderConfig:
     pic_init_qp: int = 26
     chroma_qp_offset: int = 0
     search_range: int = 8
+    enable_intra_in_p: bool = True
     use_jax: bool = True
     # rate control (codec_app_def.h RC_MODES; -1 = off / constant QP)
     rc_mode: int = -1
@@ -239,6 +240,12 @@ class H264Encoder:
         fs.mv[:, 0, :, :] = out["mv"][:, None, :].astype(np.int32)
         fs.refidx[:, 0, :] = 0
         fs.ref_pic[:, 0, :] = 0
+        im = out.get("intra_mask")
+        if im is not None and im.any():
+            fs.mb_type[im] = MB_I16x16
+            fs.mv[im] = 0
+            fs.refidx[im] = -1
+            fs.ref_pic[im] = -1
         # per-4x4 coeff counts in raster grid layout
         cnt = nz.sum(-1).reshape(cfg.mb_height, cfg.mb_width, 4, 4)
         fs.nzc_l[:] = cnt.transpose(0, 2, 1, 3).reshape(cfg.mb_height * 4,
@@ -374,10 +381,20 @@ class H264Encoder:
         fs = FrameSymbols(mb_w, mb_h)
         fs.slice_id[:] = 0
         mvc = MvContext(fs, 0)
+        intra_mask = out.get("intra_mask")
         for idx in range(n_mb):
             mbx, mby = idx % mb_w, idx // mb_w
             gx, gy = mbx * 4, mby * 4
             fs.gwritten[gy:gy + 4, gx:gx + 4] = False
+            if intra_mask is not None and intra_mask[idx]:
+                sw.skip_flag(idx, 0)
+                self._write_i16_mb_cabac(sw, out, idx, p_slice=True)
+                fs.gmv[:, gy:gy + 4, gx:gx + 4] = 0
+                fs.gref[:, gy:gy + 4, gx:gx + 4] = -1
+                fs.gwritten[gy:gy + 4, gx:gx + 4] = True
+                fs.mb_type[idx] = MB_I16x16
+                sw.end_of_slice(idx == n_mb - 1)
+                continue
             mv = out["mv"][idx].astype(np.int32)
             luma_ac, cdc, cac, cbp_chroma = self._mb_coeff_views(out, idx)
             cbp_luma = 0
@@ -495,6 +512,35 @@ class H264Encoder:
             self.qp, self.qp_c, mb_w=cfg.mb_width, mb_h=cfg.mb_height,
             sr=cfg.search_range)
         out = {k: np.asarray(v) for k, v in out.items()}
+        # intra-in-P mode decision (parity: WelsMdIntraMb vs WelsMdInterMb
+        # cost comparison, svc_base_layer_md.cpp:956/1858): both costs
+        # are SATD-scaled; the intra proxy underestimates bit cost, so
+        # bias it by ~lambda like the reference's intra lambda term.
+        intra_mask = np.zeros(cfg.mb_width * cfg.mb_height, bool)
+        if cfg.enable_intra_in_p:
+            lam = max(self.qp - 12, 1)
+            intra_mask = (out["intra_cost_proxy"].astype(np.int64) + 8 * lam
+                          < out["inter_cost"].astype(np.int64))
+        out["intra_mask"] = intra_mask
+        if intra_mask.any():
+            iout = core_jax.encode_i_frame(
+                yp, up, vp, self.qp, self.qp_c,
+                mb_w=cfg.mb_width, mb_h=cfg.mb_height,
+                intra_mask=intra_mask,
+                init_recon=(out["recon_y"], out["recon_u"], out["recon_v"]))
+            iout = {k: np.asarray(v) for k, v in iout.items()}
+            m = intra_mask
+            out["recon_y"], out["recon_u"], out["recon_v"] = \
+                iout["recon_y"], iout["recon_u"], iout["recon_v"]
+            out["i16_mode"] = iout["i16_mode"]
+            out["chroma_mode"] = iout["chroma_mode"]
+            out["luma_dc"] = iout["luma_dc"]
+            out["luma_ac"] = out["luma_ac"].copy()
+            out["luma_ac"][m] = iout["luma_ac"][m]
+            out["chroma_dc"] = out["chroma_dc"].copy()
+            out["chroma_dc"][m] = iout["chroma_dc"][m]
+            out["chroma_ac"] = out["chroma_ac"].copy()
+            out["chroma_ac"][m] = iout["chroma_ac"][m]
         rbsp = self._write_p_slice(out, is_ref, self._reorder_cmd(ref))
         return out, rbsp
 
@@ -538,10 +584,20 @@ class H264Encoder:
         mvc = MvContext(fs, 0)
         skip_run = 0
         from ..decoder.framedata import ZSCAN_TO_RASTER
+        intra_mask = out.get("intra_mask")
         for idx in range(n_mb):
             mbx, mby = idx % mb_w, idx // mb_w
             gx, gy = mbx * 4, mby * 4
             fs.gwritten[gy:gy + 4, gx:gx + 4] = False
+            if intra_mask is not None and intra_mask[idx]:
+                w.ue(skip_run)
+                skip_run = 0
+                self._write_i16_mb(w, out, idx, nc, p_slice=True)
+                # intra MBs enter MV prediction as unavailable (ref -1)
+                fs.gmv[:, gy:gy + 4, gx:gx + 4] = 0
+                fs.gref[:, gy:gy + 4, gx:gx + 4] = -1
+                fs.gwritten[gy:gy + 4, gx:gx + 4] = True
+                continue
             mv = out["mv"][idx].astype(np.int32)
             luma_ac = out["luma_ac"][idx]
             cdc = out["chroma_dc"][idx]

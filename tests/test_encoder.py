@@ -95,3 +95,57 @@ def test_roundtrip_synthetic_sizes():
         for p, r in zip(fr.planes(), recons[i]):
             # enc.ref is MB-padded; the decoder crops to the SPS window
             np.testing.assert_array_equal(p, r[:p.shape[0], :p.shape[1]])
+
+
+def test_intra_in_p_roundtrip():
+    """Scene-change content triggers I16x16 MBs inside P frames
+    (svc_base_layer_md.cpp WelsMdIntraMb/WelsMdInterMb analog); the
+    stream must round-trip bit-exactly through both our decoder and the
+    reference decoder, and the vectorized CAVLC writer must match the
+    scalar one byte-for-byte."""
+    import subprocess
+    import types
+    from openh264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+    from openh264_tpu.decoder import H264Decoder
+
+    rng = np.random.default_rng(7)
+    W, H = 160, 96
+    y0 = np.kron(rng.integers(80, 120, (H // 8, W // 8), np.uint8),
+                 np.ones((8, 8), np.uint8))
+    y1 = y0.copy()
+    y1[:, W // 2:] = np.kron(
+        rng.integers(150, 250, (H // 8, W // 16), np.uint8),
+        np.ones((8, 8), np.uint8))
+    u = np.full((H // 2, W // 2), 100, np.uint8)
+    v = np.full((H // 2, W // 2), 140, np.uint8)
+
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28))
+    n_intra = []
+    orig_vec = enc._write_p_slice
+    orig_scalar = enc._write_p_slice_scalar
+
+    def both(self, out, is_ref=True, reorder_abs_diff=None):
+        a = orig_scalar(out, is_ref, reorder_abs_diff)
+        b = orig_vec(out, is_ref, reorder_abs_diff)
+        assert a == b, "scalar vs vectorized CAVLC writer mismatch"
+        n_intra.append(int(out["intra_mask"].sum()))
+        return b
+
+    enc._write_p_slice = types.MethodType(both, enc)
+    bs = enc.encode_frame(y0, u, v) + enc.encode_frame(y1, u, v)
+    assert n_intra and n_intra[0] > 0, "no intra MBs chosen in P frame"
+
+    ours = H264Decoder().decode_annexb(bs)
+    mine = b"".join(p.tobytes() for fr in ours for p in fr.planes())
+    decbin = os.path.join(os.path.dirname(__file__), "..",
+                          ".ref_build", "src", "h264dec")
+    if os.path.exists(decbin):
+        import tempfile
+        with tempfile.NamedTemporaryFile(suffix=".264") as f, \
+                tempfile.NamedTemporaryFile(suffix=".yuv") as g:
+            f.write(bs)
+            f.flush()
+            subprocess.run([decbin, f.name, g.name], check=True,
+                           capture_output=True)
+            ref = open(g.name, "rb").read()
+        assert mine == ref, "intra-in-P stream not bit-exact on h264dec"
