@@ -58,11 +58,27 @@ class CWelsH264SVCEncoder:
             enable_frame_skip=p.bEnableFrameSkip,
             deblock_idc=p.iLoopFilterDisableIdc,
             temporal_layers=max(1, p.iTemporalLayerNum),
+            num_slices=self._slice_count(p),
         )
         self._enc = H264Encoder(cfg)
         self._stats = SEncoderStatistics(uiWidth=p.iPicWidth,
                                          uiHeight=p.iPicHeight)
         return cmResultSuccess
+
+    @staticmethod
+    def _slice_count(p) -> int:
+        """SliceModeEnum -> slices/frame (SM_SINGLE_SLICE=0,
+        SM_FIXEDSLCNUM_SLICE=1; raster/size-limited fall back to the
+        requested count)."""
+        if not p.sSpatialLayers:
+            return 1
+        sl = p.sSpatialLayers[0]
+        mode = getattr(sl, "sSliceArgument", None)
+        if mode is None:
+            return 1
+        if mode.uiSliceMode == 0:
+            return 1
+        return max(1, int(mode.uiSliceNum))
 
     def Uninitialize(self) -> int:
         self._enc = None

@@ -117,6 +117,14 @@ def main(argv=None) -> int:
         bEnableLongTermReference=bool(
             _first(cfg, "EnableLongTermReference", 0, int)),
     )
+    # slice mode / count (SliceMode 1 = SM_FIXEDSLCNUM_SLICE)
+    from ..api.params import SSpatialLayerConfig
+    slc_mode = _first(cfg, "SliceMode", 0, int)
+    slc_num = _first(cfg, "SliceNum", 1, int)
+    layer = SSpatialLayerConfig(iVideoWidth=width, iVideoHeight=height)
+    layer.sSliceArgument.uiSliceMode = slc_mode
+    layer.sSliceArgument.uiSliceNum = slc_num if slc_mode else 1
+    param.sSpatialLayers = [layer]
     enc = WelsCreateSVCEncoder()
     enc.InitializeExt(param)
 

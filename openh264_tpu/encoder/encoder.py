@@ -43,6 +43,7 @@ class EncoderConfig:
     chroma_qp_offset: int = 0
     search_range: int = 8
     enable_intra_in_p: bool = True
+    num_slices: int = 1  # SM_FIXEDSLCNUM analog: N slices/frame
     use_jax: bool = True
     # rate control (codec_app_def.h RC_MODES; -1 = off / constant QP)
     rc_mode: int = -1
@@ -186,6 +187,9 @@ class H264Encoder:
         is_ref = is_idr or cfg.temporal_layers <= 1 or \
             tid < cfg.temporal_layers - 1
 
+        if cfg.num_slices > 1:
+            return self._encode_frame_multislice(yp, up, vp, is_idr, tid,
+                                                 is_ref)
         if is_idr:
             self.frame_num = 0
             self.coding_idx = 0
@@ -214,6 +218,96 @@ class H264Encoder:
             self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
         self.coding_idx += 1
         bs = prefix + nal
+        self.rc.update(8 * len(bs), self.qp, is_idr)
+        return bs
+
+    # ------------------------------------------------------------------
+    def _band_rows(self):
+        """MB-row ranges of the frame's slices (SM_FIXEDSLCNUM split:
+        as even as possible, like AssignMbMapMultipleSlices,
+        svc_enc_slice_segment.cpp:70 for row-aligned maps)."""
+        cfg = self.cfg
+        n = min(cfg.num_slices, cfg.mb_height)
+        base = cfg.mb_height // n
+        extra = cfg.mb_height % n
+        rows = []
+        r0 = 0
+        for sidx in range(n):
+            r1 = r0 + base + (1 if sidx < extra else 0)
+            rows.append((r0, r1))
+            r0 = r1
+        return rows
+
+    def _encode_frame_multislice(self, yp, up, vp, is_idr, tid, is_ref):
+        """N-slices-per-frame encode: each horizontal MB-row band is an
+        independent H.264 slice (own NAL, own entropy state); inter
+        prediction still reaches the whole reference frame (row_off
+        band mode of the core). Mirrors the reference's
+        SM_FIXEDSLCNUM_SLICE output structure
+        (slice_multi_threading.cpp AppendSliceToFrameBs:429)."""
+        cfg = self.cfg
+        from . import core_jax
+        bands = self._band_rows()
+        nals = []
+        outs = []
+        if is_idr:
+            self.frame_num = 0
+            self.coding_idx = 0
+            self.dpb.clear()
+            prefix = self.headers_annexb()
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+        else:
+            prefix = b""
+            ref = self._pick_ref(tid)
+            reorder = self._reorder_cmd(ref)
+            ry, ru, rv = ref.planes
+        for (r0, r1) in bands:
+            bh = r1 - r0
+            yb = yp[r0 * 16:r1 * 16]
+            ub = up[r0 * 8:r1 * 8]
+            vb = vp[r0 * 8:r1 * 8]
+            if is_idr:
+                out = core_jax.encode_i_frame(yb, ub, vb, self.qp, self.qp_c,
+                                              mb_w=cfg.mb_width, mb_h=bh)
+                out = {k: np.asarray(a) for k, a in out.items()}
+                rbsp = self._write_i_slice(out, mb_h=bh,
+                                           first_mb=r0 * cfg.mb_width)
+                nals.append(make_annexb_nal(3, NAL_IDR, rbsp))
+            else:
+                out = core_jax.encode_p_frame(
+                    yb, ub, vb, ry, ru, rv, self.qp, self.qp_c,
+                    mb_w=cfg.mb_width, mb_h=bh, sr=cfg.search_range,
+                    row_off=r0 * 16)
+                out = {k: np.asarray(a) for k, a in out.items()}
+                out["intra_mask"] = np.zeros(cfg.mb_width * bh, bool)
+                rbsp = self._write_p_slice(out, is_ref, reorder, mb_h=bh,
+                                           first_mb=r0 * cfg.mb_width)
+                nals.append(make_annexb_nal(2 if is_ref else 0, NAL_SLICE,
+                                            rbsp))
+            outs.append(out)
+        # merge per-band symbols for deblock + recon
+        per_mb = [k for k in outs[0]
+                  if k not in ("recon_y", "recon_u", "recon_v")]
+        out_m = {k: np.concatenate([o[k] for o in outs]) for k in per_mb}
+        out_m["recon_y"] = np.concatenate([o["recon_y"] for o in outs])
+        out_m["recon_u"] = np.concatenate([o["recon_u"] for o in outs])
+        out_m["recon_v"] = np.concatenate([o["recon_v"] for o in outs])
+        fs = (self._frame_symbols_i(out_m) if is_idr
+              else self._frame_symbols_p(out_m))
+        for sidx, (r0, r1) in enumerate(bands):
+            fs.slice_id[r0 * cfg.mb_width:r1 * cfg.mb_width] = sidx
+        recon = _Planes(out_m["recon_y"], out_m["recon_u"],
+                        out_m["recon_v"])
+        if cfg.deblock_idc != 1:
+            deblock_frame(recon, fs)
+        if is_ref:
+            self.dpb.append(_RefEntry(self.frame_num, self.coding_idx, tid,
+                                      (recon.y, recon.u, recon.v)))
+            if len(self.dpb) > cfg.num_ref_frames:
+                self.dpb.pop(0)
+            self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
+        self.coding_idx += 1
+        bs = prefix + b"".join(nals)
         self.rc.update(8 * len(bs), self.qp, is_idr)
         return bs
 
@@ -262,16 +356,19 @@ class H264Encoder:
         rbsp = self._write_i_slice(out)
         return out, rbsp
 
-    def _write_i_slice(self, out) -> bytes:
+    def _write_i_slice(self, out, mb_h: int | None = None,
+                       first_mb: int = 0) -> bytes:
         cfg = self.cfg
+        mb_h = cfg.mb_height if mb_h is None else mb_h
         w = BitWriter()
-        write_slice_header(w, cfg, 2, self.frame_num, 0, self.qp, True,
-                           self.idr_pic_id, disable_deblock=cfg.deblock_idc)
+        write_slice_header(w, cfg, 2, self.frame_num, first_mb, self.qp,
+                           True, self.idr_pic_id,
+                           disable_deblock=cfg.deblock_idc)
         if cfg.entropy_cabac:
-            self._write_i_slice_cabac(w, out)
+            self._write_i_slice_cabac(w, out, mb_h)
             return w.get_bytes()
-        nc = _NcTracker(cfg.mb_width, cfg.mb_height)
-        for idx in range(cfg.mb_width * cfg.mb_height):
+        nc = _NcTracker(cfg.mb_width, mb_h)
+        for idx in range(cfg.mb_width * mb_h):
             self._write_i16_mb(w, out, idx, nc, p_slice=False)
         w.rbsp_trailing_bits()
         return w.get_bytes()
@@ -361,20 +458,22 @@ class H264Encoder:
         sw.mvd[gy:gy + 4, gx:gx + 4] = 0
         sw.mb_coded[idx] = True
 
-    def _write_i_slice_cabac(self, w: BitWriter, out):
+    def _write_i_slice_cabac(self, w: BitWriter, out, mb_h: int | None = None):
         cfg = self.cfg
-        n_mb = cfg.mb_width * cfg.mb_height
+        mb_h = cfg.mb_height if mb_h is None else mb_h
+        n_mb = cfg.mb_width * mb_h
         w.byte_align(1)   # cabac_alignment_one_bit
-        sw = CabacSliceWriter(cfg.mb_width, cfg.mb_height, self.qp,
+        sw = CabacSliceWriter(cfg.mb_width, mb_h, self.qp,
                               is_i=True)
         for idx in range(n_mb):
             self._write_i16_mb_cabac(sw, out, idx, p_slice=False)
             sw.end_of_slice(idx == n_mb - 1)
         sw.eng.write_to(w)
 
-    def _write_p_slice_cabac(self, w: BitWriter, out):
+    def _write_p_slice_cabac(self, w: BitWriter, out, mb_h: int | None = None):
         cfg = self.cfg
-        mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        mb_w = cfg.mb_width
+        mb_h = cfg.mb_height if mb_h is None else mb_h
         n_mb = mb_w * mb_h
         w.byte_align(1)
         sw = CabacSliceWriter(mb_w, mb_h, self.qp, is_i=False)
@@ -545,15 +644,17 @@ class H264Encoder:
         return out, rbsp
 
     def _write_p_slice(self, out, is_ref: bool = True,
-                       reorder_abs_diff: int | None = None) -> bytes:
+                       reorder_abs_diff: int | None = None,
+                       mb_h: int | None = None, first_mb: int = 0) -> bytes:
         cfg = self.cfg
-        mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        mb_w = cfg.mb_width
+        mb_h = cfg.mb_height if mb_h is None else mb_h
         w = BitWriter()
-        write_slice_header(w, cfg, 0, self.frame_num, 0, self.qp, False,
-                           0, disable_deblock=cfg.deblock_idc,
+        write_slice_header(w, cfg, 0, self.frame_num, first_mb, self.qp,
+                           False, 0, disable_deblock=cfg.deblock_idc,
                            is_ref=is_ref, reorder_abs_diff=reorder_abs_diff)
         if cfg.entropy_cabac:
-            self._write_p_slice_cabac(w, out)
+            self._write_p_slice_cabac(w, out, mb_h)
             return w.get_bytes()
         # vectorized whole-frame CAVLC writer (cavlc_vec.py)
         from .cavlc_vec import write_p_slice_tokens, assemble_rbsp

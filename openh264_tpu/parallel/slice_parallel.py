@@ -126,3 +126,77 @@ class SliceParallelEncoder:
                              self.device_put(v), ry, ru, rv, qp, qp_c,
                              mb_w=self.cfg.mb_width,
                              mb_h_band=self.mb_h_band, mesh=self.mesh)
+
+    def encode_frame(self, y, u, v):
+        """Full multi-slice frame encode: mesh-sharded compute, then
+        per-slice host entropy through the session encoder — one NAL per
+        band, exactly the single-device num_slices output (tests assert
+        byte equality)."""
+        import numpy as np
+        from ..bitstream.nal import make_annexb_nal
+        from ..bitstream import NAL_IDR, NAL_SLICE
+        from ..decoder.framedata import FrameSymbols
+        from ..oracle.deblock import deblock_frame
+        from ..encoder.encoder import _Planes, _RefEntry
+        from ..encoder.core_np import pad_to_mb
+
+        host = self._host
+        cfg = self.cfg
+        is_idr = host.frame_count == 0 or (
+            cfg.idr_interval > 0 and
+            host.frame_count % cfg.idr_interval == 0)
+        host.frame_count += 1
+        host.qp = host.rc.frame_qp(is_idr, 0)
+        from ..tables import CHROMA_QP_TABLE
+        host.qp_c = int(CHROMA_QP_TABLE[np.clip(
+            host.qp + cfg.chroma_qp_offset, 0, 51)])
+        yp, up, vp = pad_to_mb(y), pad_to_mb(u, 8), pad_to_mb(v, 8)
+        bh = self.mb_h_band
+        n_s = self.n_slices
+        nals = []
+        if is_idr:
+            host.frame_num = 0
+            host.coding_idx = 0
+            host.dpb.clear()
+            prefix = host.headers_annexb()
+            host.idr_pic_id = (host.idr_pic_id + 1) % 16
+            sym = self.encode_i_symbols(yp, up, vp, host.qp, host.qp_c)
+            sym = {k: np.asarray(a) for k, a in sym.items()}
+            outs = [{k: a[sidx] for k, a in sym.items()} for sidx in range(n_s)]
+            for sidx, out in enumerate(outs):
+                rbsp = host._write_i_slice(out, mb_h=bh,
+                                           first_mb=sidx * bh * cfg.mb_width)
+                nals.append(make_annexb_nal(3, NAL_IDR, rbsp))
+        else:
+            prefix = b""
+            ref = host.dpb[-1]
+            sym = self.encode_p_symbols(yp, up, vp, ref.planes, host.qp,
+                                        host.qp_c)
+            sym = {k: np.asarray(a) for k, a in sym.items()}
+            outs = [{k: a[sidx] for k, a in sym.items()} for sidx in range(n_s)]
+            for sidx, out in enumerate(outs):
+                out["intra_mask"] = np.zeros(cfg.mb_width * bh, bool)
+                rbsp = host._write_p_slice(out, True, None, mb_h=bh,
+                                           first_mb=sidx * bh * cfg.mb_width)
+                nals.append(make_annexb_nal(2, NAL_SLICE, rbsp))
+        per_mb = [k for k in outs[0]
+                  if k not in ("recon_y", "recon_u", "recon_v")]
+        out_m = {k: np.concatenate([o[k] for o in outs]) for k in per_mb}
+        for k in ("recon_y", "recon_u", "recon_v"):
+            out_m[k] = np.concatenate([o[k] for o in outs])
+        fs = (host._frame_symbols_i(out_m) if is_idr
+              else host._frame_symbols_p(out_m))
+        for sidx in range(n_s):
+            fs.slice_id[sidx * bh * cfg.mb_width:(sidx + 1) * bh * cfg.mb_width] = sidx
+        recon = _Planes(out_m["recon_y"], out_m["recon_u"], out_m["recon_v"])
+        if cfg.deblock_idc != 1:
+            deblock_frame(recon, fs)
+        host.dpb.append(_RefEntry(host.frame_num, host.coding_idx, 0,
+                                  (recon.y, recon.u, recon.v)))
+        if len(host.dpb) > cfg.num_ref_frames:
+            host.dpb.pop(0)
+        host.frame_num = (host.frame_num + 1) % (1 << cfg.log2_max_frame_num)
+        host.coding_idx += 1
+        bs = prefix + b"".join(nals)
+        host.rc.update(8 * len(bs), host.qp, is_idr)
+        return bs

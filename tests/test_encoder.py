@@ -149,3 +149,92 @@ def test_intra_in_p_roundtrip():
                            capture_output=True)
             ref = open(g.name, "rb").read()
         assert mine == ref, "intra-in-P stream not bit-exact on h264dec"
+
+
+def test_psnr_vs_welsenc():
+    """Fixed-QP quality parity vs the reference encoder on
+    CiscoVT2people (BASELINE protocol #2): PSNR within 0.5 dB and
+    bitstream within 1.4x at QP 24/28/32."""
+    import tempfile
+    import shutil
+    import re
+    encb = os.path.join(os.path.dirname(__file__), "..",
+                        ".ref_build", "src", "h264enc")
+    decb = os.path.join(os.path.dirname(__file__), "..",
+                        ".ref_build", "src", "h264dec")
+    if not (os.path.exists(encb) and os.path.exists(decb)):
+        pytest.skip("reference binaries not built")
+    W, H, N = 160, 96, 5
+    raw = open('/root/reference/res/CiscoVT2people_160x96_6fps.yuv',
+               'rb').read()
+    fsz = W * H * 3 // 2
+
+    def psnr_y(a, b):
+        d = a.astype(np.float64) - b.astype(np.float64)
+        mse = (d * d).mean()
+        return 99.0 if mse == 0 else 10 * np.log10(255 * 255 / mse)
+
+    def luma_frames(buf):
+        return [np.frombuffer(buf[i * fsz:(i + 1) * fsz][:W * H], np.uint8)
+                for i in range(len(buf) // fsz)]
+
+    src = luma_frames(raw[:N * fsz])
+    for qp in (24, 28, 32):
+        enc = H264Encoder(EncoderConfig(width=W, height=H, qp=qp))
+        bs = bytearray()
+        for i in range(N):
+            f = raw[i * fsz:(i + 1) * fsz]
+            y = np.frombuffer(f[:W * H], np.uint8).reshape(H, W)
+            u = np.frombuffer(f[W * H:W * H * 5 // 4],
+                              np.uint8).reshape(H // 2, W // 2)
+            v = np.frombuffer(f[W * H * 5 // 4:],
+                              np.uint8).reshape(H // 2, W // 2)
+            bs += enc.encode_frame(y, u, v)
+        tmp = tempfile.mkdtemp()
+        try:
+            ours264 = os.path.join(tmp, 'ours.264')
+            open(ours264, 'wb').write(bytes(bs))
+            subprocess.run([decb, ours264, os.path.join(tmp, 'ours.yuv')],
+                           check=True, capture_output=True)
+            dec = open(os.path.join(tmp, 'ours.yuv'), 'rb').read()
+            ps = np.mean([psnr_y(a, b) for a, b in zip(luma_frames(dec), src)])
+            for cfg in ('welsenc.cfg', 'layer2.cfg'):
+                shutil.copy(f'/root/reference/testbin/{cfg}', tmp)
+
+            def patch(fn, subs):
+                pth = os.path.join(tmp, fn)
+                s2 = open(pth).read()
+                for pat, rep in subs:
+                    s2 = re.sub(pat, rep, s2, flags=re.M)
+                open(pth, 'w').write(s2)
+            patch('welsenc.cfg', [
+                (r'^SourceWidth.*', 'SourceWidth 160'),
+                (r'^SourceHeight.*', 'SourceHeight 96'),
+                (r'^TemporalLayerNum.*', 'TemporalLayerNum 1'),
+                (r'^RCMode.*', 'RCMode -1'),
+                (r'^EnableDenoise.*', 'EnableDenoise 0'),
+                (r'^EnableBackgroundDetection.*',
+                 'EnableBackgroundDetection 0'),
+                (r'^EnableAdaptiveQuantization.*',
+                 'EnableAdaptiveQuantization 0'),
+                (r'^EnableSceneChangeDetect.*', 'EnableSceneChangeDetect 0')])
+            patch('layer2.cfg', [(r'^FrameWidth.*', 'FrameWidth 160'),
+                                 (r'^FrameHeight.*', 'FrameHeight 96'),
+                                 (r'^InitialQP.*', f'InitialQP {qp}')])
+            subprocess.run(
+                [encb, 'welsenc.cfg', '-org',
+                 '/root/reference/res/CiscoVT2people_160x96_6fps.yuv',
+                 '-frms', str(N), '-bf', os.path.join(tmp, 'w.264')],
+                cwd=tmp, check=True, capture_output=True)
+            subprocess.run([decb, os.path.join(tmp, 'w.264'),
+                            os.path.join(tmp, 'w.yuv')],
+                           check=True, capture_output=True)
+            wdec = open(os.path.join(tmp, 'w.yuv'), 'rb').read()
+            wps = np.mean([psnr_y(a, b)
+                           for a, b in zip(luma_frames(wdec), src)])
+            wsize = os.path.getsize(os.path.join(tmp, 'w.264'))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        assert ps >= wps - 0.5, f"QP{qp}: {ps:.2f} vs welsenc {wps:.2f} dB"
+        assert len(bs) <= wsize * 1.4, \
+            f"QP{qp}: {len(bs)}B vs welsenc {wsize}B"
