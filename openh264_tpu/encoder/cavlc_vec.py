@@ -285,6 +285,22 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
         sv, sl_ = ue_bits(prev_coded)
         hv[coded_idx, 0] = sv
         hl[coded_idx, 0] = sl_
+    # per-MB delta QP chain (adaptive quant): mb_qp_delta is signaled
+    # only on MBs with coded residual; the running value carries over
+    mb_qp = out.get("mb_qp")
+    slice_qp = out.get("slice_qp")
+    if mb_qp is not None:
+        mb_qp = np.asarray(mb_qp, np.int64).reshape(n_mb)
+        res_mb = (~is_skip) & ((cbp != 0) | intra)
+        lastr = np.maximum.accumulate(
+            np.where(res_mb, np.arange(n_mb), -1))
+        prev_res = np.concatenate([[-1], lastr[:-1]])
+        prev_qp = np.where(prev_res >= 0,
+                           mb_qp[np.clip(prev_res, 0, None)],
+                           int(slice_qp))
+        dqp = mb_qp - prev_qp
+    else:
+        dqp = np.zeros(n_mb, np.int64)
     ci_inter = coded_idx[~intra[coded_idx]] if len(coded_idx) else coded_idx
     if len(ci_inter):
         hv[ci_inter, 1], hl[ci_inter, 1] = 1, 1             # ue(0) mb_type
@@ -295,7 +311,9 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
         v, l = ue_bits(CBP_INTER_INV[cbp[ci_inter]])
         hv[ci_inter, 4], hl[ci_inter, 4] = v, l
         has_res = cbp[ci_inter] != 0
-        hv[ci_inter[has_res], 5], hl[ci_inter[has_res], 5] = 1, 1  # se(0)
+        ir = ci_inter[has_res]
+        v, l = se_bits(dqp[ir])
+        hv[ir, 5], hl[ir, 5] = v, l
     ci_intra = np.nonzero(intra)[0]
     if len(ci_intra):
         i16m = np.asarray(out["i16_mode"], np.int64).reshape(-1)[ci_intra]
@@ -306,7 +324,8 @@ def write_p_slice_tokens(out: dict, mb_w: int, mb_h: int):
         hv[ci_intra, 1], hl[ci_intra, 1] = v, l
         v, l = ue_bits(cmode)
         hv[ci_intra, 2], hl[ci_intra, 2] = v, l
-        hv[ci_intra, 3], hl[ci_intra, 3] = 1, 1              # se(0) dqp
+        v, l = se_bits(dqp[ci_intra])
+        hv[ci_intra, 3], hl[ci_intra, 3] = v, l              # mb_qp_delta
 
     # ---- residual tokens ----
     # nzc grids for nC contexts (final values, order-independent).

@@ -498,7 +498,13 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     rv = pad_ref(ref_v)
     row_off = jnp.asarray(row_off, jnp.int32)
 
-    lam = jnp.maximum(jnp.asarray(qp, jnp.float32) - 12.0, 1.0)
+    # qp / qp_c may be scalars or per-MB [n_mb] arrays (adaptive quant,
+    # GOM rate control): the SoA quant/dequant broadcast per MB.
+    qp = jnp.asarray(qp, jnp.int32)
+    qp_c = jnp.asarray(qp_c, jnp.int32)
+    lam_qp = (qp.astype(jnp.float32) if qp.ndim == 0
+              else qp.astype(jnp.float32).mean())
+    lam = jnp.maximum(lam_qp - 12.0, 1.0)
     int_cost, int_mv = _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam)
 
     src_mb = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n_mb, 16, 16).astype(jnp.int32)

@@ -44,6 +44,9 @@ class EncoderConfig:
     search_range: int = 8
     enable_intra_in_p: bool = True
     num_slices: int = 1  # SM_FIXEDSLCNUM analog: N slices/frame
+    enable_adaptive_quant: bool = False   # VAA-driven per-MB delta QP
+    enable_scene_change_detect: bool = False  # SCD -> IDR decision
+    enable_gom_rc: bool = False           # per-MB-row (GOM) QP offsets
     use_jax: bool = True
     # rate control (codec_app_def.h RC_MODES; -1 = off / constant QP)
     rc_mode: int = -1
@@ -138,7 +141,8 @@ class H264Encoder:
         cfg = self.cfg
         self.rc = RateControl(cfg.rc_mode, cfg.target_bitrate,
                               cfg.max_frame_rate, self.qp,
-                              cfg.min_qp, cfg.max_qp, cfg.enable_frame_skip)
+                              cfg.min_qp, cfg.max_qp, cfg.enable_frame_skip,
+                              n_pixels=cfg.width * cfg.height)
 
     def force_idr(self):
         self._force_idr = True
@@ -171,6 +175,14 @@ class H264Encoder:
         from .core_np import pad_to_mb
         is_idr = self.frame_count == 0 or self._force_idr or (
             cfg.idr_interval > 0 and self.frame_count % cfg.idr_interval == 0)
+        if (not is_idr and cfg.enable_scene_change_detect
+                and getattr(self, "_prev_input", None) is not None):
+            from ..processing.scenechange import detect_scene_change
+            from .core_np import pad_to_mb as _p2m
+            if bool(detect_scene_change(_p2m(y), self._prev_input)):
+                is_idr = True
+        from .core_np import pad_to_mb as _p2m2
+        self._prev_input = _p2m2(y)
         self.frame_count += 1
         if not is_idr and self.rc.should_skip():
             self.rc.skipped()
@@ -329,7 +341,19 @@ class H264Encoder:
         # P16x16 vs PSKIP is irrelevant for bS (both inter, same mv/nzc)
         fs.mb_type[:] = MB_P16x16
         fs.slice_id[:] = 0
-        fs.qp[:] = self.qp
+        mb_qp = out.get("mb_qp")
+        if mb_qp is None:
+            fs.qp[:] = self.qp
+        else:
+            # decoder-visible qp: mb_qp_delta is only signaled on MBs
+            # with coded residual; others keep the running value
+            nzmb = (out["luma_ac"].reshape(n, -1) != 0).any(1) | \
+                   (out["chroma_dc"].reshape(n, -1) != 0).any(1) | \
+                   (out["chroma_ac"].reshape(n, -1) != 0).any(1)
+            lastr = np.maximum.accumulate(
+                np.where(nzmb, np.arange(n), -1))
+            fs.qp[:] = np.where(lastr >= 0,
+                                mb_qp[np.clip(lastr, 0, None)], self.qp)
         fs.disable_deblock[:] = 0 if cfg.deblock_idc != 1 else 1
         fs.mv[:, 0, :, :] = out["mv"][:, None, :].astype(np.int32)
         fs.refidx[:, 0, :] = 0
@@ -480,6 +504,8 @@ class H264Encoder:
         fs = FrameSymbols(mb_w, mb_h)
         fs.slice_id[:] = 0
         mvc = MvContext(fs, 0)
+        mb_qp_arr = out.get("mb_qp")
+        run_qp = self.qp
         intra_mask = out.get("intra_mask")
         for idx in range(n_mb):
             mbx, mby = idx % mb_w, idx // mb_w
@@ -526,7 +552,9 @@ class H264Encoder:
             mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
             sw.write_cbp(idx, cbp)
             if cbp:
-                sw.delta_qp(0)
+                want = int(mb_qp_arr[idx]) if mb_qp_arr is not None else self.qp
+                sw.delta_qp(want - run_qp)
+                run_qp = want
                 self._cabac_luma_ac(sw, out, idx, cbp_luma, is_i16=False)
                 self._cabac_chroma(sw, out, idx, cbp_chroma)
             else:
@@ -606,17 +634,47 @@ class H264Encoder:
         cfg = self.cfg
         from . import core_jax
         ry, ru, rv = ref.planes
+        mb_qp = None
+        if cfg.enable_adaptive_quant or cfg.enable_gom_rc:
+            from ..processing.vaa import vaa_calc
+            vaa = {k: np.asarray(a) for k, a in vaa_calc(yp, ry).items()}
+            dqp = np.zeros((cfg.mb_height, cfg.mb_width), np.int32)
+            if cfg.enable_adaptive_quant:
+                from ..processing.adaptivequant import adaptive_quant_map
+                dqp += adaptive_quant_map(vaa).astype(np.int32)
+            if cfg.enable_gom_rc:
+                # per-MB-row (GOM) offset from relative complexity
+                # (WelsRcMbInitGom analog at GOM granularity)
+                sad = vaa["sad8x8"].sum(-1).astype(np.int64)  # [mh,mw]
+                gom = sad.sum(-1)                              # [mh]
+                avg = max(1, int(gom.mean()))
+                off = np.where(gom > 2 * avg, 1,
+                               np.where(4 * gom < avg, -1, 0)).astype(np.int32)
+                dqp += off[:, None]
+            from .ratectl import RC_OFF_MODE as _RC_OFF
+            if cfg.rc_mode != _RC_OFF:
+                # keep AQ zero-mean under rate control so the frame-level
+                # budget model stays calibrated
+                dqp = dqp - int(round(float(dqp.mean())))
+            mb_qp = np.clip(self.qp + dqp.reshape(-1),
+                            cfg.min_qp, cfg.max_qp).astype(np.int32)
+            mb_qp_c = CHROMA_QP_TABLE[np.clip(
+                mb_qp + cfg.chroma_qp_offset, 0, 51)].astype(np.int32)
         out = core_jax.encode_p_frame(
             yp, up, vp, ry, ru, rv,
-            self.qp, self.qp_c, mb_w=cfg.mb_width, mb_h=cfg.mb_height,
+            self.qp if mb_qp is None else mb_qp,
+            self.qp_c if mb_qp is None else mb_qp_c,
+            mb_w=cfg.mb_width, mb_h=cfg.mb_height,
             sr=cfg.search_range)
         out = {k: np.asarray(v) for k, v in out.items()}
+        if mb_qp is not None:
+            out["mb_qp"] = mb_qp
         # intra-in-P mode decision (parity: WelsMdIntraMb vs WelsMdInterMb
         # cost comparison, svc_base_layer_md.cpp:956/1858): both costs
         # are SATD-scaled; the intra proxy underestimates bit cost, so
         # bias it by ~lambda like the reference's intra lambda term.
         intra_mask = np.zeros(cfg.mb_width * cfg.mb_height, bool)
-        if cfg.enable_intra_in_p:
+        if cfg.enable_intra_in_p and mb_qp is None:
             lam = max(self.qp - 12, 1)
             intra_mask = (out["intra_cost_proxy"].astype(np.int64) + 8 * lam
                           < out["inter_cost"].astype(np.int64))
@@ -658,6 +716,8 @@ class H264Encoder:
             return w.get_bytes()
         # vectorized whole-frame CAVLC writer (cavlc_vec.py)
         from .cavlc_vec import write_p_slice_tokens, assemble_rbsp
+        out = dict(out)
+        out["slice_qp"] = self.qp
         hdr_bits = w.bit_array()
         av, al, tv, tl = write_p_slice_tokens(out, mb_w, mb_h)
         groups = [(av, al)]
@@ -684,6 +744,8 @@ class H264Encoder:
         fs.slice_id[:] = 0
         mvc = MvContext(fs, 0)
         skip_run = 0
+        mb_qp_arr = out.get("mb_qp")
+        run_qp = self.qp
         from ..decoder.framedata import ZSCAN_TO_RASTER
         intra_mask = out.get("intra_mask")
         for idx in range(n_mb):
@@ -727,7 +789,9 @@ class H264Encoder:
             mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
             w.ue(int(CBP_INTER_INV[cbp]))
             if cbp:
-                w.se(0)  # mb_qp_delta
+                want = int(mb_qp_arr[idx]) if mb_qp_arr is not None else self.qp
+                w.se(want - run_qp)
+                run_qp = want
             # luma residual (only coded 8x8s)
             for k in range(16):
                 r = int(ZSCAN_TO_RASTER[k])

@@ -24,7 +24,7 @@ RC_BITRATE_MODE = 1
 RC_BUFFERBASED_MODE = 2
 RC_TIMESTAMP_MODE = 3
 
-_IDR_RATIO = 4.0        # iIdrBitrateRatio default 400% (codec_app_def.h)
+_IDR_RATIO = 3.0        # iIdrBitrateRatio (tamed from 400% for tighter windows)
 _MAX_DELTA_QP = 3       # per-frame QP step bound
 _SKIP_FULLNESS = 0.85   # skip when buffer this full (vbuf skip threshold)
 
@@ -42,7 +42,8 @@ class RateControl:
 
     def __init__(self, mode: int, target_bitrate: float, fps: float,
                  init_qp: int, min_qp: int = 0, max_qp: int = 51,
-                 enable_skip: bool = True, idr_ratio: float = _IDR_RATIO):
+                 enable_skip: bool = True, idr_ratio: float = _IDR_RATIO,
+                 n_pixels: int = 0):
         self.mode = mode
         self.fps = max(1.0, fps)
         self.bits_per_frame = max(1.0, target_bitrate / self.fps)
@@ -52,6 +53,20 @@ class RateControl:
                                                     RC_BUFFERBASED_MODE,
                                                     RC_TIMESTAMP_MODE)
         self.idr_ratio = idr_ratio
+        if mode not in (RC_OFF_MODE,) and n_pixels > 0 and target_bitrate > 0:
+            # initial QP from bits-per-pixel (RcInitialQp analog,
+            # ratectl.cpp: dBpp thresholds -> start QP)
+            bpp = self.bits_per_frame / n_pixels
+            if bpp <= 0.03:
+                init_qp = 42
+            elif bpp <= 0.08:
+                init_qp = 38
+            elif bpp <= 0.2:
+                init_qp = 33
+            elif bpp <= 0.5:
+                init_qp = 29
+            else:
+                init_qp = 25
         self.st = RcState(qp=init_qp)
 
     # ------------------------------------------------------------------
@@ -77,11 +92,14 @@ class RateControl:
                 target *= self.idr_ratio
             # drain pressure: spend less when the bucket is filling
             pressure = st.buffer_fullness / max(1.0, self.buffer_size)
-            target *= max(0.25, 1.0 - pressure)
+            target *= max(0.2, 1.0 - 1.5 * pressure)
             want_qstep = st.model_x / max(1.0, target)
             want_qp = 6.0 * math.log2(max(1e-3, want_qstep / 0.625))
-            dq = max(-_MAX_DELTA_QP, min(_MAX_DELTA_QP,
-                                         round(want_qp) - st.qp))
+            # asymmetric bounds: raise QP fast (overshoot recovery),
+            # lower it slowly (avoid oscillation after the IDR)
+            up = 6 if st.frames < 3 else _MAX_DELTA_QP
+            down = 1
+            dq = max(-down, min(up, round(want_qp) - st.qp))
             qp = st.qp + dq
         else:
             qp = st.qp
