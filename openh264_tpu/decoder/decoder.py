@@ -288,6 +288,9 @@ class H264Decoder:
         intra_mb = np.isin(fs.mb_type.reshape(fs.mb_h, fs.mb_w),
                            INTRA_CLASSES)
         pic.col_intra = np.repeat(np.repeat(intra_mb, 4, axis=0), 4, axis=1)
+        # per-MB 16x16-class (post direct promotion) for GetColocatedMb's
+        # IS_INTER_16x16 test; intra always counts (mv_pred.cpp:342)
+        pic.col_mb16 = fs.mb16 | intra_mb.reshape(-1)
 
     @staticmethod
     def _crop(sps, st):

@@ -11,15 +11,19 @@ import numpy as np
 # direct_8x8_inference corner block index within an 8x8 (in 4x4 units)
 
 
-def distance_scale_factor(poc_cur: int, poc0: int, poc1: int) -> int:
+def distance_scale_factor(poc_lsb: int, poc0: int, poc1: int) -> int:
     """DistScaleFactor for temporal direct: col ref poc0 (L0 target),
-    col pic poc1 (L1[0])."""
-    tb = np.clip(poc_cur - poc0, -128, 127)
-    td = np.clip(poc1 - poc0, -128, 127)
+    col pic poc1 (L1[0]).  Matches decode_slice.cpp
+    ComputeColocatedTemporalScaling: tb uses the RAW
+    pic_order_cnt_lsb of the current slice while poc0/poc1 are the
+    refs' computed iFramePoc, and tx uses C (truncating) division."""
+    tb = int(np.clip(poc_lsb - poc0, -128, 127))
+    td = int(np.clip(poc1 - poc0, -128, 127))
     if td == 0:
         return 256
-    tx = (16384 + abs(int(td)) // 2) // int(td)
-    return int(np.clip((int(tb) * tx + 32) >> 6, -1024, 1023))
+    q = 16384 + (abs(td) >> 1)
+    tx = q // td if td > 0 else -(q // -td)
+    return int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
 
 
 class DirectContext:
@@ -37,14 +41,16 @@ class DirectContext:
         self.colref_to_l0 = {}
         for i, p in enumerate(ref_list0):
             self.colref_to_l0.setdefault(p.pic_id, i)
-        # precompute DistScaleFactor per l0 index
+        # precompute DistScaleFactor per l0 index (post-reorder list,
+        # as ComputeColocatedTemporalScaling runs after InitRefPicList)
         if self.col is not None:
-            self.dsf = [distance_scale_factor(poc_cur, p.poc, self.col.poc)
+            lsb = getattr(sh, "pic_order_cnt_lsb", poc_cur)
+            self.dsf = [distance_scale_factor(lsb, p.poc, self.col.poc)
                         for p in ref_list0]
 
     def col_motion(self, bx: int, by: int):
-        """Colocated 4x4 block motion: (use_l1, mv[2], ref_pic_id, is_intra).
-        Applies direct_8x8_inference corner sampling."""
+        """Colocated 4x4 block motion: (mv[2], ref_pic_id, is_intra,
+        from_l1).  Applies direct_8x8_inference corner sampling."""
         col = self.col
         if self.direct_8x8:
             # corner sampling: each 8x8 uses its outermost-corner 4x4 block
@@ -53,28 +59,31 @@ class DirectContext:
             oy = 0 if (by - mb_by) < 2 else 3
             bx, by = mb_bx + ox, mb_by + oy
         if col.col_intra[by, bx]:
-            return np.zeros(2, np.int32), -1, True
+            return np.zeros(2, np.int32), -1, True, False
         if col.col_ref0[by, bx] >= 0:
-            return col.col_mv0[by, bx], int(col.col_refpic0[by, bx]), False
-        return col.col_mv1[by, bx], int(col.col_refpic1[by, bx]), False
+            return col.col_mv0[by, bx], int(col.col_refpic0[by, bx]), \
+                False, False
+        # col block is L1-only (col is a B-ref): use its LIST_1 motion
+        # (parse_mb_syn_cavlc.cpp "mvColoc = iColocMv[LIST_1]")
+        return col.col_mv1[by, bx], int(col.col_refpic1[by, bx]), False, True
 
     # ---- temporal direct ----
     def temporal_direct(self, bx: int, by: int):
-        """Returns (ref0, ref1, mv0[2], mv1[2])."""
-        mv_col, col_ref_id, is_intra = self.col_motion(bx, by)
-        if is_intra or col_ref_id < 0:
-            ref0 = 0
+        """Returns (ref0, ref1, mv0[2], mv1[2]).  Reference semantics
+        (mv_pred.cpp PredBDirectTemporal / FillTemporalDirect8x8Mv):
+        refIdxL0 stays 0 when the col block is intra OR L1-only (the
+        reference maps only colocRefIndexL0 >= 0 through
+        MapColToList0); no long-term special case."""
+        mv_col, col_ref_id, is_intra, from_l1 = self.col_motion(bx, by)
+        if is_intra:
             mv_col = np.zeros(2, np.int32)
-        else:
+        ref0 = 0
+        if not is_intra and not from_l1:
             ref0 = self.colref_to_l0.get(col_ref_id, 0)
-        if self.col.is_long_term:
-            mv0 = mv_col.copy()
-            mv1 = np.zeros(2, np.int32)
-        else:
-            dsf = self.dsf[ref0] if ref0 < len(self.dsf) else 256
-            mv0 = np.array([(dsf * int(mv_col[0]) + 128) >> 8,
-                            (dsf * int(mv_col[1]) + 128) >> 8], np.int32)
-            mv1 = mv0 - mv_col
+        dsf = self.dsf[ref0] if ref0 < len(self.dsf) else 256
+        mv0 = np.array([(dsf * int(mv_col[0]) + 128) >> 8,
+                        (dsf * int(mv_col[1]) + 128) >> 8], np.int32)
+        mv1 = mv0 - mv_col
         return ref0, 0, mv0, mv1
 
     # ---- spatial direct ----

@@ -495,6 +495,20 @@ def apply_direct(ctx: SliceDecodeContext, mb_idx: int, gx0: int, gy0: int,
     fs = ctx.fs
     mbx, mby = mb_idx % ctx.mb_w, mb_idx // ctx.mb_w
     mb_gx, mb_gy = mbx * 4, mby * 4
+    if nblk == 4:
+        # GetColocatedMb promotion (mv_pred.cpp:342): whole-direct MB
+        # becomes 16x16-class when the col MB is 16x16/intra/skip.
+        # Feeds deblock interior-bS mode (WelsDeblockingMb: IS_SKIP ->
+        # no interior edges, IS_INTER_16x16 -> nz-only) and the
+        # recursive promotion record for future col use.
+        from .framedata import MB_BSKIP
+        col16 = getattr(dctx.col, "col_mb16", None)
+        promoted = bool(col16[mb_idx]) if col16 is not None else False
+        fs.mb16[mb_idx] = promoted
+        if fs.mb_type[mb_idx] == MB_BSKIP:
+            fs.ibs_mode[mb_idx] = 2
+        else:
+            fs.ibs_mode[mb_idx] = 1 if promoted else 0
     if dctx.spatial:
         ref0, ref1, mv0, mv1, use0, use1 = ctx.spatial_direct_mb(mb_idx)
         step = 2 if dctx.direct_8x8 else 1
@@ -607,6 +621,23 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
         for q in range(4):
             if subs[q][0] == -1:
                 apply_direct(ctx, mb_idx, gx + (q % 2) * 2, gy + (q // 2) * 2, 2)
+        # CAVLC quirk (parse_mb_syn_cavlc.cpp: ref_idx_list memset to
+        # REF_NOT_IN_LIST and never assigned for temporal-direct
+        # quadrants, then written into the MVP ref cache in the mv
+        # loop): same-MB MVPs see temporal-direct quadrants as ref -1
+        # while their MVs stay visible for the median.  CABAC writes
+        # the true refs (UpdateP8x8RefCacheIdxCabac in the direct
+        # fill), so this masking is CAVLC-only.
+        _dmask = []
+        if ctx.direct is not None and not ctx.direct.spatial:
+            for q in range(4):
+                if subs[q][0] == -1:
+                    q_gx, q_gy = gx + (q % 2) * 2, gy + (q // 2) * 2
+                    for lx in (0, 1):
+                        _dmask.append(
+                            (lx, q_gx, q_gy,
+                             fs.gref[lx, q_gy:q_gy + 2, q_gx:q_gx + 2].copy()))
+                        fs.gref[lx, q_gy:q_gy + 2, q_gx:q_gx + 2] = -1
         # unused lists of non-direct sub-blocks become final immediately
         for q in range(4):
             if subs[q][0] == -1:
@@ -634,6 +665,10 @@ def decode_b_mb_cavlc(br: BitReader, ctx: SliceDecodeContext, mb_idx: int,
                     mvd = np.array([br.se(), br.se()], np.int32)
                     mv = mvc.pred_mv(px, py, pw, ph, lx, refs[q][lx], mb_idx) + mvd
                     mvc.set_partition(px, py, pw, ph, lx, refs[q][lx], mv)
+        # restore the true refs of temporal-direct quadrants so later
+        # MBs (and recon) see them
+        for lx, q_gx, q_gy, vals in _dmask:
+            fs.gref[lx, q_gy:q_gy + 2, q_gx:q_gx + 2] = vals
     _finish_inter_mb(ctx, mb_idx)
 
     # NoSubMbPartSizeLessThan8x8Flag for B (7.3.5): B_8x8 keeps it true
