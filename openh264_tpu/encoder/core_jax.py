@@ -425,10 +425,8 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     # ---- stage 2: full-res +-3 refine around the coarse best ----
     gy = PAD + row_off + (jnp.arange(n_mb) // mb_w) * 16 + cmv_y - 3
     gx = PAD + (jnp.arange(n_mb) % mb_w) * 16 + cmv_x - 3
-    r22 = jnp.arange(22)
-    w22 = ry[gy[:, None, None] + r22[None, :, None],
-             gx[:, None, None] + r22[None, None, :]]
-    Gw = w22.astype(jnp.int32).transpose(1, 2, 0)            # [22,22,N]
+    w22 = mxu_gather_windows(ry, gy, gx, 22)
+    Gw = w22.transpose(1, 2, 0)                              # [22,22,N]
     src_soa = y.reshape(mb_h, 16, mb_w, 16).transpose(1, 3, 0, 2).reshape(
         16, 16, n_mb).astype(jnp.int32)
     best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)
@@ -449,6 +447,37 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     off_arr = jnp.asarray(offs, jnp.int32)                    # [49,2]
     mv = jnp.stack([cmv_x, cmv_y], -1) + off_arr[best_k]
     return best_cost.astype(jnp.float32), mv
+
+
+def mxu_gather_windows(plane, gy, gx, size):
+    """Per-MB square window extraction as two one-hot MATMULS on the MXU.
+
+    plane: [Hp, Wp] uint8/int; gy/gx: [N] int32 top-left coords.
+    Returns [N, size, size] int32 windows — bit-exact with a direct
+    gather (u8 values are exact in bf16; each one-hot row has exactly
+    one nonzero so the f32 accumulation is exact).
+
+    XLA's general gather lowers to scalar loads on TPU (21 ms for a
+    [3600,24,24] window set at 720p); expressing the same selection as
+    one-hot row/column matmuls runs on the systolic array (0.9 ms
+    measured — 24x faster). This is the TPU-native analog of the
+    reference's per-MB windowed addressing (svc_motion_estimate.cpp).
+    """
+    Hp, Wp = plane.shape
+    N = gy.shape[0]
+    pb = plane.astype(jnp.bfloat16)
+    rng = jnp.arange(size, dtype=jnp.int32)
+    ih = jnp.arange(Hp, dtype=jnp.int32)
+    ohr = (gy[:, None, None] + rng[None, :, None]
+           == ih[None, None, :]).astype(jnp.bfloat16)
+    t1 = jnp.einsum("mrh,hw->mrw", ohr, pb,
+                    preferred_element_type=jnp.float32)
+    iw = jnp.arange(Wp, dtype=jnp.int32)
+    ohc = (gx[:, None, None] + rng[None, :, None]
+           == iw[None, None, :]).astype(jnp.bfloat16)
+    t2 = jnp.einsum("mrw,mcw->mrc", t1.astype(jnp.bfloat16), ohc,
+                    preferred_element_type=jnp.float32)
+    return t2.astype(jnp.int32)
 
 
 def _onehot_window_conv(region, mb_w, mb_h, patch, out, n_off, oh_idx_y,
@@ -521,10 +550,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     gy = (PAD - 3 + row_off + (jnp.arange(n_mb) // mb_w) * 16
           + int_mv[:, 1])
     gx = PAD - 3 + (jnp.arange(n_mb) % mb_w) * 16 + int_mv[:, 0]
-    r24 = jnp.arange(24)
-    w24 = ry[gy[:, None, None] + r24[None, :, None],
-             gx[:, None, None] + r24[None, None, :]]
-    G = w24.astype(jnp.int32).transpose(1, 2, 0)            # [24,24,N]
+    w24 = mxu_gather_windows(ry, gy, gx, 24)
+    G = w24.transpose(1, 2, 0)                              # [24,24,N]
 
     # 6-tap half-pel inside the window (spec 8.4.2.2.1). Alignment:
     # B[y,x] = half-pel between x and x+1 (valid x in [2,20]);
@@ -546,6 +573,10 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     j1 = tap6(b1, 0)                                         # [19,19,N]
     Jw = jnp.pad(jnp.clip((j1 + 512) >> 10, 0, 255),
                  ((2, 3), (2, 3), (0, 0)))
+    # barrier BEFORE the candidate loop: without it XLA re-derives the
+    # 6-tap filter chains inside every one of the 49 candidate fusions
+    # (measured 20+ ms of redundant VPU work at 720p)
+    G, Bw, Hw, Jw = jax.lax.optimization_barrier((G, Bw, Hw, Jw))
 
     def sub_pred(qx, qy):
         """[16,16,N] prediction for quarter offset (qx,qy) vs int best;
@@ -637,21 +668,28 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         a, b = tab[(fy, fx)]
         ta.append(a)
         tb.append(b)
-    ta = jnp.asarray(ta, jnp.int32)                            # [49,3]
-    tb = jnp.asarray(tb, jnp.int32)
-    # barrier: stops XLA from fusing (and re-computing) the half-pel
-    # filter chains inside the stack's loop fusion
-    Gb, Bb, Hb, Jb = jax.lax.optimization_barrier((G, Bw, Hw, Jw))
-    P4 = jnp.stack([Gb, Bb, Hb, Jb])                           # [4,24,24,N]
-    rr = jnp.arange(16)[:, None, None]
-    cc = jnp.arange(16)[None, :, None]
-    nn = jnp.arange(n_mb)[None, None, :]
-    sa = ta[best_q]                                            # [N,3]
-    sb = tb[best_q]
-    A = P4[sa[:, 0][None, None, :], sa[:, 1][None, None, :] + rr,
-           sa[:, 2][None, None, :] + cc, nn]
-    Bs = P4[sb[:, 0][None, None, :], sb[:, 1][None, None, :] + rr,
-            sb[:, 2][None, None, :] + cc, nn]
+    # one-hot select of the two source samples per MB: the per-element
+    # gather formulation took ~10 ms on v5e; selecting among the 36
+    # possible (plane, dy, dx) variants with a one-hot contraction is
+    # MXU work instead. Variant id = plane*9 + (sy-2)*3 + (sx-2)
+    # (sy, sx are always in [2, 4] for quarter offsets in [-3, 3]).
+    def vid(e):
+        return e[0] * 9 + (e[1] - 2) * 3 + (e[2] - 2)
+    va_tab = jnp.asarray([vid(e) for e in ta], jnp.int32)      # [49]
+    vb_tab = jnp.asarray([vid(e) for e in tb], jnp.int32)
+    planes4 = (G, Bw, Hw, Jw)
+    S = jnp.stack([
+        jax.lax.slice(planes4[p], (sy, sx, 0), (sy + 16, sx + 16, n_mb))
+        for p in range(4) for sy in (2, 3, 4) for sx in (2, 3, 4)
+    ]).astype(jnp.bfloat16).reshape(36, 256, n_mb)             # [36,256,N]
+    def onehot_sel(v_idx):
+        oh = (v_idx[:, None] == jnp.arange(36, dtype=jnp.int32)[None, :]
+              ).astype(jnp.bfloat16)                           # [N,36]
+        r = jnp.einsum("nv,vpn->pn", oh, S,
+                       preferred_element_type=jnp.float32)
+        return r.astype(jnp.int32).reshape(16, 16, n_mb)
+    A = onehot_sel(va_tab[best_q])
+    Bs = onehot_sel(vb_tab[best_q])
     pred_soa = (A + Bs + 1) >> 1                               # [16,16,N]
 
     # ---- luma transform path, all SoA [4, 4, 16 blocks, N] ----
@@ -681,13 +719,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     c_patch = 10 + c_noff - 1
 
     def chroma_pred(refc):
-        # per-MB 10x10 chroma windows at (cmx, cmy), direct gather
+        # per-MB 10x10 chroma windows at (cmx, cmy), MXU one-hot gather
         cgy = (PAD + (row_off >> 1) + (jnp.arange(n_mb) // mb_w) * 8 + cmy)
         cgx = PAD + (jnp.arange(n_mb) % mb_w) * 8 + cmx
-        r10 = jnp.arange(10)
-        w10 = refc[cgy[:, None, None] + r10[None, :, None],
-                   cgx[:, None, None] + r10[None, None, :]]
-        Wn = w10.astype(jnp.int32).transpose(1, 2, 0)        # [10,10,N]
+        w10 = mxu_gather_windows(refc, cgy, cgx, 10)
+        Wn = w10.transpose(1, 2, 0)                          # [10,10,N]
         A = Wn[0:8, 0:8]
         Bq = Wn[0:8, 1:9]
         C = Wn[1:9, 0:8]
