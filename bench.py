@@ -79,7 +79,8 @@ def ref_fps_live(yuv, nframes):
 
 
 def our_fps(yuv, nframes):
-    from openh264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+    from openh264_tpu.encoder.encoder import EncoderConfig
+    from openh264_tpu.encoder.session_device import DeviceSessionEncoder
     fsz = W * H * 3 // 2
     raw = open(yuv, 'rb').read()
     frames = []
@@ -89,21 +90,22 @@ def our_fps(yuv, nframes):
             np.frombuffer(f[:W * H], np.uint8).reshape(H, W),
             np.frombuffer(f[W * H:W * H * 5 // 4], np.uint8).reshape(H // 2, W // 2),
             np.frombuffer(f[W * H * 5 // 4:], np.uint8).reshape(H // 2, W // 2)))
-    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=26))
-    # warmup: compile the I and P cores
-    enc.encode_frame(*frames[0])
-    enc.encode_frame(*frames[1 % len(frames)])
+    # warmup: compile the I and P steps
+    warm = DeviceSessionEncoder(EncoderConfig(width=W, height=H, qp=26))
+    warm.encode_stream(iter(frames[:2]))
+    # measured run: 33 frames (IDR + 32 P) through the pipelined
+    # device-resident session — includes input upload from host numpy
+    # and Annex-B assembly on host (honest end-to-end)
+    enc = DeviceSessionEncoder(EncoderConfig(width=W, height=H, qp=26))
+    seq = [frames[0]] + [frames[i % nframes] for i in range(1, 33)]
     t0 = time.perf_counter()
-    n = 0
-    for i in range(2, nframes):
-        enc.encode_frame(*frames[i])
-        n += 1
-    # keep timing window reasonable: loop the clip once more
-    for i in range(1, nframes):
-        enc.encode_frame(*frames[i])
-        n += 1
+    outs = enc.encode_stream(iter(seq))
     dt = time.perf_counter() - t0
-    return n / dt
+    st = dict(enc.last_stats)
+    st["total_s"] = round(dt, 3)
+    st["bytes"] = sum(len(o) for o in outs)
+    print("stage timers:", json.dumps(st), file=sys.stderr)
+    return len(seq) / dt
 
 
 def main():

@@ -337,6 +337,123 @@ def encode_i_frame(y, u, v, qp, qp_c, mb_w: int, mb_h: int,
     return out
 
 
+def chainfree_intra_mask(mask, mb_w: int, mb_h: int):
+    """Demote intra-in-P MBs whose causal neighbors (left/top/top-left —
+    the I16x16/chroma prediction sources) are also marked.
+
+    The kept set has no causally-adjacent intra pairs, so every kept
+    MB predicts purely from INTER reconstruction and the whole masked
+    intra pass batches in one shot — no wavefront. (The reference walks
+    MBs serially so chains are free for it, svc_base_layer_md.cpp:956;
+    on TPU a 124-step wavefront for a handful of intra MBs costs more
+    than the quality of adjacent-intra chains is worth. Scene-change
+    intra storms are handled by SCD -> IDR instead.)
+    """
+    g = mask.reshape(mb_h, mb_w)
+    f = jnp.zeros_like(g)
+    left = f.at[:, 1:].set(g[:, :-1])
+    top = f.at[1:, :].set(g[:-1, :])
+    tl = f.at[1:, 1:].set(g[:-1, :-1])
+    return (g & ~(left | top | tl)).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("mb_w", "mb_h"))
+def encode_i16_flat(y, u, v, qp, qp_c, mb_w: int, mb_h: int,
+                    intra_mask=None, init_recon=None):
+    """Batched I16x16 encode of a CHAIN-FREE masked MB set.
+
+    Semantically identical to encode_i_frame for masks with no
+    causally-adjacent intra MBs (all neighbor samples come from
+    init_recon), but with zero sequential steps: neighbor rows/columns
+    are extracted by static slicing of the recon planes.
+    """
+    n_mb = mb_w * mb_h
+    rec_y, rec_u, rec_v = init_recon
+    mask = intra_mask
+
+    def borders(plane, size):
+        """(top [N,size], left [N,size], topleft [N]) neighbor samples
+        from the plane, zeros at picture borders."""
+        mh, mw = mb_h, mb_w
+        topline = jnp.concatenate(
+            [jnp.zeros((1, mw * size), plane.dtype),
+             plane[size - 1::size][:mh - 1]], 0)             # [mh, W]
+        top = topline.reshape(mh, mw, size).transpose(0, 1, 2).reshape(
+            n_mb, size)
+        leftcol = jnp.concatenate(
+            [jnp.zeros((mh * size, 1), plane.dtype),
+             plane[:, size - 1::size][:, :mw - 1]], 1)       # [H, mw]
+        left = leftcol.reshape(mh, size, mw).transpose(0, 2, 1).reshape(
+            n_mb, size)
+        tlrow = jnp.concatenate(
+            [jnp.zeros((mh, 1), plane.dtype),
+             topline[:, size - 1::size][:, :mw - 1]], 1)     # [mh, mw]
+        return top, left, tlrow.reshape(n_mb)
+
+    ar = jnp.arange(n_mb)
+    has_top = (ar // mb_w) > 0
+    has_left = (ar % mb_w) > 0
+
+    # ---- luma ----
+    src = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(
+        n_mb, 16, 16)
+    topL, leftL, tlL = borders(rec_y, 16)
+    preds, pvalid = _predict_i16_batch(topL, leftL, tlL, has_top, has_left)
+    sads = jnp.abs(src[:, None].astype(jnp.int32)
+                   - preds.astype(jnp.int32)).sum((-1, -2))
+    sads = jnp.where(pvalid, sads, 1 << 30)
+    mode = jnp.argmin(sads, axis=1).astype(jnp.int32)
+    pred = jnp.take_along_axis(preds, mode[:, None, None, None], 1)[:, 0]
+    dc_lev, ac_lev, rec = _transform_i16(src, pred, qp)
+    rec_mb = rec_y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(
+        n_mb, 16, 16)
+    rec_mb = jnp.where(mask[:, None, None], rec.astype(jnp.uint8), rec_mb)
+    rec_y = rec_mb.reshape(mb_h, mb_w, 16, 16).transpose(0, 2, 1, 3).reshape(
+        mb_h * 16, mb_w * 16)
+
+    # ---- chroma ----
+    def chroma(plane_src, plane_rec):
+        srcc = plane_src.reshape(mb_h, 8, mb_w, 8).transpose(
+            0, 2, 1, 3).reshape(n_mb, 8, 8)
+        topC, leftC, tlC = borders(plane_rec, 8)
+        return srcc, topC, leftC, tlC
+
+    src_u, top_u, left_u, tl_u = chroma(u, rec_u)
+    src_v, top_v, left_v, tl_v = chroma(v, rec_v)
+    pu, cvalid = _predict_chroma_batch(top_u, left_u, tl_u, has_top,
+                                       has_left)
+    pv, _ = _predict_chroma_batch(top_v, left_v, tl_v, has_top, has_left)
+    csads = (jnp.abs(src_u[:, None].astype(jnp.int32) - pu).sum((-1, -2))
+             + jnp.abs(src_v[:, None].astype(jnp.int32) - pv).sum((-1, -2)))
+    csads = jnp.where(cvalid, csads, 1 << 30)
+    cmode = jnp.argmin(csads, axis=1).astype(jnp.int32)
+    pred_u = jnp.take_along_axis(pu, cmode[:, None, None, None], 1)[:, 0]
+    pred_v = jnp.take_along_axis(pv, cmode[:, None, None, None], 1)[:, 0]
+    dcu, acu, rec_u_mb = _transform_chroma(src_u, pred_u, qp_c)
+    dcv, acv, rec_v_mb = _transform_chroma(src_v, pred_v, qp_c)
+
+    def merge_c(plane, rec_c):
+        pm = plane.reshape(mb_h, 8, mb_w, 8).transpose(0, 2, 1, 3).reshape(
+            n_mb, 8, 8)
+        pm = jnp.where(mask[:, None, None], rec_c.astype(jnp.uint8), pm)
+        return pm.reshape(mb_h, mb_w, 8, 8).transpose(0, 2, 1, 3).reshape(
+            mb_h * 8, mb_w * 8)
+
+    return {
+        "i16_mode": jnp.where(mask, mode, 0),
+        "chroma_mode": jnp.where(mask, cmode, 0),
+        "luma_dc": jnp.where(mask[:, None, None], dc_lev, 0),
+        "luma_ac": jnp.where(mask[:, None, None], ac_lev, 0),
+        "chroma_dc": jnp.where(mask[:, None, None],
+                               jnp.stack([dcu, dcv], 1), 0),
+        "chroma_ac": jnp.where(mask[:, None, None, None],
+                               jnp.stack([acu, acv], 1), 0),
+        "recon_y": rec_y,
+        "recon_u": merge_c(rec_u, rec_u_mb),
+        "recon_v": merge_c(rec_v, rec_v_mb),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Motion estimation + P frame
 # ---------------------------------------------------------------------------
@@ -426,7 +543,9 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     gy = PAD + row_off + (jnp.arange(n_mb) // mb_w) * 16 + cmv_y - 3
     gx = PAD + (jnp.arange(n_mb) % mb_w) * 16 + cmv_x - 3
     w22 = mxu_gather_windows(ry, gy, gx, 22)
-    Gw = w22.transpose(1, 2, 0)                              # [22,22,N]
+    # barrier: keep the window materialized instead of re-deriving it
+    # inside each of the 49 refine-candidate fusions
+    Gw = jax.lax.optimization_barrier(w22.transpose(1, 2, 0))  # [22,22,N]
     src_soa = y.reshape(mb_h, 16, mb_w, 16).transpose(1, 3, 0, 2).reshape(
         16, 16, n_mb).astype(jnp.int32)
     best_cost = jnp.full(n_mb, 1 << 30, jnp.int32)

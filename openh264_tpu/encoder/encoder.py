@@ -678,6 +678,11 @@ class H264Encoder:
             lam = max(self.qp - 12, 1)
             intra_mask = (out["intra_cost_proxy"].astype(np.int64) + 8 * lam
                           < out["inter_cost"].astype(np.int64))
+            # same chain-free demotion as the device fast path (see
+            # core_jax.chainfree_intra_mask) so both paths pick
+            # identical modes and stay byte-identical
+            intra_mask = np.asarray(core_jax.chainfree_intra_mask(
+                intra_mask, cfg.mb_width, cfg.mb_height))
         out["intra_mask"] = intra_mask
         if intra_mask.any():
             iout = core_jax.encode_i_frame(

@@ -2,21 +2,32 @@
 
 This moves the encoder's two-phase entropy (SURVEY.md §7) fully onto the
 TPU: the jitted core's symbol tensors are turned into (value, length)
-token grids by batched table lookups (a jnp port of cavlc_vec.py, which
-tests hold bit-exact to the scalar writer), and the tokens are packed
-into the final RBSP byte stream on device with a cumulative-offset
-scatter — so the only per-frame device->host transfer is the packed
-bitstream itself (~tens of KB), not megabytes of symbol tensors.
+token grids by batched table lookups, and the tokens are packed into
+the final RBSP byte stream on device — so the only per-frame
+device->host transfer is the packed bitstream itself (~tens of KB),
+not megabytes of symbol tensors.
 
-Parity anchors: WelsSpatialWriteMbSyn (svc_set_mb_syn_cavlc.cpp:260) for
-the syntax order, WelsEncodeNal (nal_encap.cpp:120) for the final
+TPU-shaped design decisions (each replaces a scalar-gather/sort
+formulation that measured 10-50x slower on v5e):
+
+- residual_tokens walks the 16 coefficient positions in REVERSE as a
+  static loop with vector state (running t1/suffix-length/run
+  counters), instead of argsort + take_along_axis. Token slots are
+  keyed by scan position; CAVLC's emission order (trailing-one signs,
+  then levels, then runs, each from the highest frequency down) is
+  exactly descending scan position, so slot order == stream order and
+  no compaction inside the block is needed.
+- zigzag / z-scan reorders are constant one-hot matmuls (MXU), not
+  gathers.
+- the packer compacts live tokens with ONE scatter of a fused
+  (len << 16 | val) word (every CAVLC/header token value fits 16 bits;
+  a token's length can exceed 16 while its VALUE stays small because
+  long codes are unary-prefixed), then derives bit offsets by cumsum
+  over the compacted lengths only.
+
+Parity anchors: WelsSpatialWriteMbSyn (svc_set_mb_syn_cavlc.cpp:260)
+for the syntax order, WelsEncodeNal (nal_encap.cpp:120) for the final
 byte-level framing (done on host after download).
-
-The bit packer: token bit offsets are an exclusive cumsum of lengths;
-live tokens are compacted by a mask-scatter; each token (<=28 bits,
-arbitrary alignment) spans <=5 output bytes, contributed via 5
-scatter-adds (contributions of different tokens to one byte occupy
-disjoint bit ranges, so integer add == bitwise or).
 """
 
 from __future__ import annotations
@@ -30,11 +41,11 @@ from ..tables.cavlc import (CBP_INTER_INV, COEFF_TOKEN, RUN_BEFORE,
                             TOTAL_ZEROS, TOTAL_ZEROS_CHROMA_DC)
 from ..decoder.framedata import ZSCAN_TO_RASTER
 
-RES_SLOTS = 35
-# per-MB slot layout of a P slice (matches cavlc_vec.write_p_slice_tokens):
-# 6 header + 1 I16-DC block + 16 luma + 2 chroma-DC + 8 chroma-AC
+# per-residual-block slot layout: 1 coeff_token + 16 sign-or-level
+# (descending scan position; a position holds a t1 sign xor a level)
+# + 1 total_zeros + 16 run_before (descending current position)
+RES_SLOTS = 34
 P_SLOTS = 6 + RES_SLOTS * (1 + 16 + 2 + 8)
-# I slice: 3 header (mb_type, chroma_mode, dqp) + same residual groups
 I_SLOTS = 3 + RES_SLOTS * (1 + 16 + 2 + 8)
 
 
@@ -54,54 +65,88 @@ def _se_bits(v):
     return _ue_bits(code)
 
 
+def _perm_last(x, perm):
+    """out[..., i] = x[..., perm[i]] as a one-hot matmul (values must be
+    integers with |x| < 2**23 for exact f32 accumulation)."""
+    m = len(perm)
+    P = jnp.asarray(np.eye(x.shape[-1], dtype=np.float32)[np.asarray(perm)].T)
+    r = jnp.einsum("...c,ci->...i", x.astype(jnp.float32), P[:, :m])
+    return r.astype(jnp.int32)
+
+
+def _perm_mid(x, perm):
+    """out[:, i, :] = x[:, perm[i], :] (one-hot matmul on the middle axis)."""
+    P = jnp.asarray(np.eye(x.shape[1], dtype=np.float32)[np.asarray(perm)])
+    r = jnp.einsum("nbc,ib->nic", x.astype(jnp.float32), P)
+    return r.astype(jnp.int32)
+
+
+def _lut(table_np, idx):
+    """Constant-table lookup as a one-hot f32 matmul (values < 2**24).
+
+    XLA lowers jnp gathers to scalar loads on TPU (~150 M elem/s); a
+    compare + small matmul stays on the vector/matrix units.
+    table_np: [n, m] numpy constant; idx: [B] int32 in [0, n).
+    Returns [B, m] int32.
+    """
+    n = table_np.shape[0]
+    T = jnp.asarray(table_np, jnp.float32)
+    oh = (idx[:, None] == jnp.arange(n, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    return (oh @ T).astype(jnp.int32)
+
+
 def residual_tokens(coeffs, nc, max_coeff: int):
     """coeffs: [B, mc] int32 levels in scan order; nc: [B] int32 (-1 for
-    chroma DC). Returns (vals [B,35] u32, lens [B,35] u8, total [B])."""
+    chroma DC). Returns (vals [B,34] u32, lens [B,34] u8, total [B]).
+
+    Slot order within a block equals CAVLC stream order (see module
+    docstring); slot INDICES differ from the emission index, which is
+    fine because the packer only keeps nonzero-length slots in order.
+    """
     B, mc = coeffs.shape
     assert mc == max_coeff
     c = coeffs.astype(jnp.int32)
-    m = c != 0
-    total = m.sum(1).astype(jnp.int32)
+    nzm = c != 0
+    total = nzm.sum(1).astype(jnp.int32)
+    pos = jnp.arange(mc, dtype=jnp.int32)
+    lastnz = jnp.max(jnp.where(nzm, pos[None, :], -1), axis=1)
+    zeros_total = lastnz + 1 - total
 
-    order = jnp.argsort(jnp.logical_not(m), axis=1, stable=True)
-    jj = jnp.arange(mc, dtype=jnp.int32)[None, :]
-    pos = jnp.where(jj < total[:, None], order, 0)
-    vnz = jnp.take_along_axis(c, order, 1)
-    vnz = jnp.where(jj < total[:, None], vnz, 0)
+    zero_u = jnp.zeros(B, jnp.uint32)
+    zero_b = jnp.zeros(B, jnp.uint8)
+    sign_v = [zero_u] * 16
+    sign_l = [zero_b] * 16
+    run_v = [zero_u] * 16
+    run_l = [zero_b] * 16
 
-    def at(j):
-        jc = jnp.clip(j, 0, mc - 1)
-        return jnp.take_along_axis(vnz, jc[:, None], 1)[:, 0]
+    i32 = jnp.int32
+    cnt = jnp.zeros(B, i32)
+    t1cnt = jnp.zeros(B, i32)
+    t1open = jnp.ones(B, bool)
+    lev_started = jnp.zeros(B, bool)
+    sl = jnp.zeros(B, i32)
+    prevpos = jnp.zeros(B, i32)
+    zl = jnp.where((total > 0) & (total < mc), zeros_total, 0)
+    rb_np = np.asarray(RUN_BEFORE).reshape(-1, 2)   # [(zl,run) -> v,l]
+    rb_runs = np.asarray(RUN_BEFORE).shape[1]
 
-    t_idx = total - 1
-    c1 = (total >= 1) & (jnp.abs(at(t_idx)) == 1)
-    c2 = c1 & (total >= 2) & (jnp.abs(at(t_idx - 1)) == 1)
-    c3 = c2 & (total >= 3) & (jnp.abs(at(t_idx - 2)) == 1)
-    t1 = c1.astype(jnp.int32) + c2 + c3
+    for step in range(mc):
+        p = mc - 1 - step
+        v = c[:, p]
+        nz = v != 0
+        absl = jnp.abs(v)
+        take_t1 = nz & t1open & (absl == 1) & (t1cnt < 3)
+        sign_v[step] = jnp.where(take_t1, (v < 0), 0).astype(jnp.uint32)
+        is_level = nz & ~take_t1
+        t1cnt = t1cnt + take_t1
+        t1open = t1open & ~is_level
 
-    cls = jnp.where(nc < 0, 4,
-                    jnp.where(nc < 2, 0,
-                              jnp.where(nc < 4, 1, jnp.where(nc < 8, 2, 3))))
-    ct = jnp.asarray(COEFF_TOKEN, jnp.int32)       # [5, 17, 4, 2]
-    tok = ct[cls, total, t1]
-    vals_cols = [tok[:, 0].astype(jnp.uint32)]
-    lens_cols = [tok[:, 1].astype(jnp.uint8)]
-
-    for k in range(3):
-        sel = t1 > k
-        vals_cols.append(jnp.where(sel, (at(t_idx - k) < 0), 0)
-                         .astype(jnp.uint32))
-        lens_cols.append(sel.astype(jnp.uint8))
-
-    sl = ((total > 10) & (t1 < 3)).astype(jnp.int32)
-    n_lev = total - t1
-    for k in range(mc):
-        j = n_lev - 1 - k
-        act = j >= 0
-        level = at(j)
-        absl = jnp.abs(level)
-        lc = ((absl - 1) << 1) | (level < 0)
-        lc = jnp.where(act & (k == 0) & (t1 < 3), lc - 2, lc)
+        first_level = is_level & ~lev_started
+        sl = jnp.where(first_level,
+                       ((total > 10) & (t1cnt < 3)).astype(i32), sl)
+        lc = ((absl - 1) << 1) | (v < 0)
+        lc = jnp.where(first_level & (t1cnt < 3), lc - 2, lc)
         lcu = lc.astype(jnp.uint32)
         v0 = jnp.where(lc < 14, jnp.uint32(1),
                        jnp.where(lc < 30,
@@ -119,49 +164,46 @@ def residual_tokens(coeffs, nc, max_coeff: int):
                           & 0xFFF))
         ls = jnp.where(pre < 15, pre + 1 + sl, 28)
         use0 = sl == 0
-        val_k = jnp.where(use0, v0, vs)
-        len_k = jnp.where(use0, l0, ls)
-        vals_cols.append(jnp.where(act, val_k, 0).astype(jnp.uint32))
-        lens_cols.append(jnp.where(act, len_k, 0).astype(jnp.uint8))
-        sl = jnp.where(act & (sl == 0), 1, sl)
-        sl = jnp.where(act & (absl > (3 << jnp.maximum(sl - 1, 0))) & (sl < 6),
-                       sl + 1, sl)
-    for _ in range(mc, 16):     # fixed 16 level slots (layout parity)
-        vals_cols.append(jnp.zeros(B, jnp.uint32))
-        lens_cols.append(jnp.zeros(B, jnp.uint8))
+        lv_val = jnp.where(use0, v0, vs)
+        lv_len = jnp.where(use0, l0, ls)
+        # sign xor level share the position slot
+        sign_v[step] = jnp.where(is_level, lv_val, sign_v[step])
+        sign_l[step] = jnp.where(take_t1, 1,
+                                 jnp.where(is_level, lv_len, 0)
+                                 ).astype(jnp.uint8)
+        sl = jnp.where(is_level & (sl == 0), 1, sl)
+        sl = jnp.where(is_level & (absl > (3 << jnp.maximum(sl - 1, 0)))
+                       & (sl < 6), sl + 1, sl)
+        lev_started = lev_started | is_level
 
-    last_pos = jnp.take_along_axis(
-        pos, jnp.clip(total - 1, 0, mc - 1)[:, None], 1)[:, 0]
-    zeros = last_pos + 1 - total
+        emit_run = nz & (cnt >= 1) & (zl > 0)
+        run = prevpos - p - 1
+        rb_idx = jnp.clip(zl, 0, 7) * rb_runs + jnp.clip(run, 0, rb_runs - 1)
+        rb = _lut(rb_np, jnp.where(emit_run, rb_idx, 0))
+        run_v[step] = jnp.where(emit_run, rb[:, 0], 0).astype(jnp.uint32)
+        run_l[step] = jnp.where(emit_run, rb[:, 1], 0).astype(jnp.uint8)
+        zl = jnp.where(emit_run, zl - run, zl)
+        prevpos = jnp.where(nz, p, prevpos)
+        cnt = cnt + nz
+
+    cls = jnp.where(nc < 0, 4,
+                    jnp.where(nc < 2, 0,
+                              jnp.where(nc < 4, 1, jnp.where(nc < 8, 2, 3))))
+    ct_np = np.asarray(COEFF_TOKEN)
+    tok = _lut(ct_np.reshape(-1, 2),
+               (cls * ct_np.shape[1] + total) * ct_np.shape[2] + t1cnt)
     tz_act = (total > 0) & (total < mc)
-    tz_tab = jnp.asarray(
-        TOTAL_ZEROS_CHROMA_DC if mc == 4 else TOTAL_ZEROS, jnp.int32)
-    tz = tz_tab[jnp.clip(total, 0, tz_tab.shape[0] - 1),
-                jnp.clip(zeros, 0, tz_tab.shape[1] - 1)]
-    vals_cols.append(jnp.where(tz_act, tz[:, 0], 0).astype(jnp.uint32))
-    lens_cols.append(jnp.where(tz_act, tz[:, 1], 0).astype(jnp.uint8))
+    tz_np = np.asarray(TOTAL_ZEROS_CHROMA_DC if mc == 4 else TOTAL_ZEROS)
+    tz_idx = (jnp.clip(total, 0, tz_np.shape[0] - 1) * tz_np.shape[1]
+              + jnp.clip(zeros_total, 0, tz_np.shape[1] - 1))
+    tz = _lut(tz_np.reshape(-1, 2), tz_idx)
 
-    rb_tab = jnp.asarray(RUN_BEFORE, jnp.int32)
-    zl = jnp.where(tz_act, zeros, 0)
-    # at most 14 run_before tokens can be live (total=16 has no zeros)
-    for k in range(min(mc - 1, 14)):
-        j = total - 1 - k
-        act = (j >= 1) & (zl > 0)
-        jp = jnp.clip(j, 1, mc - 1)
-        pj = jnp.take_along_axis(pos, jp[:, None], 1)[:, 0]
-        pj1 = jnp.take_along_axis(pos, (jp - 1)[:, None], 1)[:, 0]
-        run = pj - pj1 - 1
-        rb = rb_tab[jnp.clip(zl, 0, 7),
-                    jnp.clip(run, 0, rb_tab.shape[1] - 1)]
-        vals_cols.append(jnp.where(act, rb[:, 0], 0).astype(jnp.uint32))
-        lens_cols.append(jnp.where(act, rb[:, 1], 0).astype(jnp.uint8))
-        zl = jnp.where(act, zl - run, zl)
-    for _ in range(min(mc - 1, 14), 14):
-        vals_cols.append(jnp.zeros(B, jnp.uint32))
-        lens_cols.append(jnp.zeros(B, jnp.uint8))
-
-    vals = jnp.stack(vals_cols, 1)
-    lens = jnp.stack(lens_cols, 1)
+    vals = jnp.stack([tok[:, 0].astype(jnp.uint32)] + sign_v
+                     + [jnp.where(tz_act, tz[:, 0], 0).astype(jnp.uint32)]
+                     + run_v, 1)
+    lens = jnp.stack([tok[:, 1].astype(jnp.uint8)] + sign_l
+                     + [jnp.where(tz_act, tz[:, 1], 0).astype(jnp.uint8)]
+                     + run_l, 1)
     return vals, lens, total
 
 
@@ -208,13 +250,40 @@ def _mvp_p16x16(mv, mb_w: int, mb_h: int, intra):
     return mvp, skip_mv
 
 
-def _nc_from(nzc):
-    h, w = nzc.shape
-    na = jnp.full((h, w), -1, jnp.int32).at[:, 1:].set(nzc[:, :-1])
-    nb = jnp.full((h, w), -1, jnp.int32).at[1:, :].set(nzc[:-1, :])
+def _nc_mb(tc_mb, mb_w: int, mb_h: int):
+    """nC per luma 4x4 block from per-block counts, in MB layout.
+
+    tc_mb: [n_mb, 16] counts (raster blocks). Returns [n_mb, 16] int32.
+    Pure shifts/concats — no grid gathers.
+    """
+    g = tc_mb.reshape(mb_h, mb_w, 4, 4)
+    neg = jnp.full((mb_h, mb_w, 4, 1), -1, jnp.int32)
+    left_mb = jnp.concatenate(
+        [neg[:, :1], g[:, :-1, :, 3:4]], axis=1)          # [mh,mw,4,1]
+    na = jnp.concatenate([left_mb, g[:, :, :, :3]], axis=3)
+    negt = jnp.full((mb_h, mb_w, 1, 4), -1, jnp.int32)
+    top_mb = jnp.concatenate(
+        [negt[:1], g[:-1, :, 3:4, :]], axis=0)
+    nb = jnp.concatenate([top_mb, g[:, :, :3, :]], axis=2)
     both = (na >= 0) & (nb >= 0)
     nc = jnp.where(both, (na + nb + 1) >> 1, jnp.maximum(na, nb))
-    return jnp.maximum(nc, 0)
+    return jnp.maximum(nc, 0).reshape(-1, 16)
+
+
+def _nc_chroma(tc_c, mb_w: int, mb_h: int):
+    """nC per chroma 4x4 block. tc_c: [n_mb, 2, 4] counts (comp, raster
+    2x2 block). Returns [n_mb, 2, 4]."""
+    g = tc_c.reshape(mb_h, mb_w, 2, 2, 2).transpose(2, 0, 1, 3, 4)
+    neg = jnp.full((2, mb_h, mb_w, 2, 1), -1, jnp.int32)
+    left_mb = jnp.concatenate([neg[:, :, :1], g[:, :, :-1, :, 1:2]], axis=2)
+    na = jnp.concatenate([left_mb, g[..., :1]], axis=4)
+    negt = jnp.full((2, mb_h, mb_w, 1, 2), -1, jnp.int32)
+    top_mb = jnp.concatenate([negt[:, :1], g[:, :-1, :, 1:2, :]], axis=1)
+    nb = jnp.concatenate([top_mb, g[:, :, :, :1, :]], axis=3)
+    both = (na >= 0) & (nb >= 0)
+    nc = jnp.where(both, (na + nb + 1) >> 1, jnp.maximum(na, nb))
+    nc = jnp.maximum(nc, 0)
+    return nc.transpose(1, 2, 0, 3, 4).reshape(-1, 2, 4)
 
 
 _B8MAP = ((np.arange(16) // 8) * 2 + (np.arange(16) % 4) // 2)
@@ -236,8 +305,8 @@ def p_slice_tokens(out: dict, mb_w: int, mb_h: int, slice_qp):
     im = out.get("intra_mask")
     intra = (jnp.asarray(im, bool).reshape(n_mb) if im is not None
              else jnp.zeros(n_mb, bool))
-    zz = jnp.asarray(ZIGZAG_4x4)
-    zsr = jnp.asarray(ZSCAN_TO_RASTER)
+    zz = np.asarray(ZIGZAG_4x4)
+    zsr = np.asarray(ZSCAN_TO_RASTER)
     b8map = jnp.asarray(_B8MAP, jnp.int32)
 
     nz_blk = luma.any(2)
@@ -318,69 +387,58 @@ def p_slice_tokens(out: dict, mb_w: int, mb_h: int, slice_qp):
         hv[5] = jnp.where(intra, 0, hv[5])
         hl[5] = jnp.where(intra, 0, hl[5])
 
-    # ---- nzc grids for nC ----
-    zz_all = luma[:, :, zz]
-    tc_blk = jnp.count_nonzero(zz_all, axis=2)
-    tc_blk_i16 = jnp.count_nonzero(zz_all[:, :, 1:], axis=2)
-    tc_blk = jnp.where(intra[:, None], tc_blk_i16, tc_blk)
+    # ---- per-block coefficient counts + nC contexts (MB layout) ----
+    zz_all = _perm_last(luma, zz)                            # [N,16,16] scan
+    tc_full = jnp.count_nonzero(zz_all, axis=2)
+    tc_i16 = jnp.count_nonzero(zz_all[:, :, 1:], axis=2)
+    tc_blk = jnp.where(intra[:, None], tc_i16, tc_full)
     blk_coded = (cbp_luma[:, None] >> b8map[None, :]) & 1
     tc_blk = tc_blk * blk_coded * coded[:, None]
-    nzc_l = tc_blk.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(
-        mb_h * 4, mb_w * 4)
-    cac_z = cac[:, :, :, zz]
+    nc_l = _nc_mb(tc_blk, mb_w, mb_h)                        # [N,16] raster
+    cac_z = _perm_last(cac, zz)
     tc_c = jnp.count_nonzero(cac_z[..., 1:], axis=3)
-    tc_c = tc_c * (cbp_chroma == 2)[:, None, None]
-    nzc_c = tc_c.reshape(mb_h, mb_w, 2, 2, 2).transpose(
-        2, 0, 3, 1, 4).reshape(2, mb_h * 2, mb_w * 2)
+    tc_c = tc_c * ((cbp_chroma == 2) & coded)[:, None, None]
+    nc_c = _nc_chroma(tc_c, mb_w, mb_h)                      # [N,2,4]
 
-    nc_l = _nc_from(nzc_l)
-    nc_u = _nc_from(nzc_c[0])
-    nc_v = _nc_from(nzc_c[1])
-
-    # ---- luma residual ----
-    zz_z = zz_all[:, zsr, :]
-    bx = (zsr % 4)[None, :] + (ar % mb_w)[:, None] * 4
-    by = (zsr // 4)[None, :] + (ar // mb_w)[:, None] * 4
-    nc_lb = nc_l[by, bx]
+    # ---- luma residual (z-scan block order) ----
+    zz_z = _perm_mid(zz_all, zsr)                            # [N,16z,16]
+    nc_lb = _perm_last(nc_l, zsr)                            # [N,16z]
     lv, ll, _ = residual_tokens(zz_z.reshape(-1, 16), nc_lb.reshape(-1), 16)
     lv = lv.reshape(n_mb, 16, RES_SLOTS)
     ll = ll.reshape(n_mb, 16, RES_SLOTS)
-    wmask = (blk_coded[:, zsr] * coded[:, None]).astype(bool)
-    if im is not None:
-        # I16 blocks: 15-coefficient AC tokens replace the 16-coeff ones
-        av15, al15, _ = residual_tokens(
-            zz_z[:, :, 1:].reshape(-1, 15), nc_lb.reshape(-1), 15)
-        av15 = av15.reshape(n_mb, 16, RES_SLOTS)
-        al15 = al15.reshape(n_mb, 16, RES_SLOTS)
-        lv = jnp.where(intra[:, None, None], av15, lv)
-        ll = jnp.where(intra[:, None, None], al15, ll)
-    ll = ll * wmask[:, :, None]
-
+    wmask = (_perm_last(blk_coded, zsr) * coded[:, None]).astype(bool)
     dvv = jnp.zeros((n_mb, RES_SLOTS), jnp.uint32)
     dll = jnp.zeros((n_mb, RES_SLOTS), jnp.uint8)
     if im is not None:
-        ldc = jnp.asarray(out["luma_dc"], jnp.int32).reshape(-1, 16)[:n_mb]
-        dc_scan = ldc[:, zz]
-        gx0 = (ar % mb_w) * 4
-        gy0 = (ar // mb_w) * 4
-        vv, lld, _ = residual_tokens(dc_scan, nc_l[gy0, gx0], 16)
-        dvv = jnp.where(intra[:, None], vv, 0)
-        dll = (lld * intra[:, None]).astype(jnp.uint8)
+        # the I16 token variants (15-coeff AC + luma DC) only run when
+        # the frame actually contains intra MBs
+        def intra_tokens(_):
+            av15, al15, _t = residual_tokens(
+                zz_z[:, :, 1:].reshape(-1, 15), nc_lb.reshape(-1), 15)
+            av15 = av15.reshape(n_mb, 16, RES_SLOTS)
+            al15 = al15.reshape(n_mb, 16, RES_SLOTS)
+            lvi = jnp.where(intra[:, None, None], av15, lv)
+            lli = jnp.where(intra[:, None, None], al15, ll)
+            ldc = jnp.asarray(out["luma_dc"],
+                              jnp.int32).reshape(-1, 16)[:n_mb]
+            vv, lld, _t = residual_tokens(_perm_last(ldc, zz),
+                                          nc_l[:, 0], 16)
+            return (lvi, lli, jnp.where(intra[:, None], vv, 0),
+                    (lld * intra[:, None]).astype(jnp.uint8))
 
-    # ---- chroma ----
+        lv, ll, dvv, dll = jax.lax.cond(
+            intra.any(), intra_tokens,
+            lambda _: (lv, ll, dvv, dll), None)
+    ll = ll * wmask[:, :, None]
+
     dcv, dcl, _ = residual_tokens(cdc.reshape(-1, 4),
                                   jnp.full(n_mb * 2, -1, jnp.int32), 4)
     dcv = dcv.reshape(n_mb, 2, RES_SLOTS)
     dcl = dcl.reshape(n_mb, 2, RES_SLOTS)
     dcl = dcl * ((cbp_chroma > 0) & coded)[:, None, None]
 
-    cx = (ar % mb_w)[:, None] * 2 + jnp.arange(4)[None, :] % 2
-    cy = (ar // mb_w)[:, None] * 2 + jnp.arange(4)[None, :] // 2
-    nc_ub = nc_u[cy, cx]
-    nc_vb = nc_v[cy, cx]
     acv, acl, _ = residual_tokens(
-        cac_z[:, :, :, 1:].reshape(-1, 15),
-        jnp.stack([nc_ub, nc_vb], 1).reshape(-1), 15)
+        cac_z[:, :, :, 1:].reshape(-1, 15), nc_c.reshape(-1), 15)
     acv = acv.reshape(n_mb, 2, 4, RES_SLOTS)
     acl = acl.reshape(n_mb, 2, 4, RES_SLOTS)
     acl = acl * ((cbp_chroma == 2) & coded)[:, None, None, None]
@@ -408,9 +466,8 @@ def i_slice_tokens(out: dict, mb_w: int, mb_h: int):
     luma = jnp.asarray(out["luma_ac"], jnp.int32)
     cdc = jnp.asarray(out["chroma_dc"], jnp.int32)
     cac = jnp.asarray(out["chroma_ac"], jnp.int32)
-    zz = jnp.asarray(ZIGZAG_4x4)
-    zsr = jnp.asarray(ZSCAN_TO_RASTER)
-    ar = jnp.arange(n_mb, dtype=jnp.int32)
+    zz = np.asarray(ZIGZAG_4x4)
+    zsr = np.asarray(ZSCAN_TO_RASTER)
 
     cbp_luma = jnp.where(luma.reshape(n_mb, -1).any(1), 15, 0)
     cbp_chroma = jnp.where(cac.reshape(n_mb, -1).any(1), 2,
@@ -422,35 +479,29 @@ def i_slice_tokens(out: dict, mb_w: int, mb_h: int):
     hv = []
     hl = []
     v, l = _ue_bits(mb_type)
-    hv.append(v); hl.append(l)
+    hv.append(v)
+    hl.append(l)
     v, l = _ue_bits(cmode)
-    hv.append(v); hl.append(l)
+    hv.append(v)
+    hl.append(l)
     v, l = _se_bits(jnp.zeros(n_mb, jnp.int32))
-    hv.append(v); hl.append(l)
+    hv.append(v)
+    hl.append(l)
 
-    zz_all = luma[:, :, zz]
+    zz_all = _perm_last(luma, zz)
     tc_blk = jnp.count_nonzero(zz_all[:, :, 1:], axis=2)
     tc_blk = tc_blk * (cbp_luma != 0)[:, None]
-    nzc_l = tc_blk.reshape(mb_h, mb_w, 4, 4).transpose(0, 2, 1, 3).reshape(
-        mb_h * 4, mb_w * 4)
-    cac_z = cac[:, :, :, zz]
+    nc_l = _nc_mb(tc_blk, mb_w, mb_h)
+    cac_z = _perm_last(cac, zz)
     tc_c = jnp.count_nonzero(cac_z[..., 1:], axis=3)
     tc_c = tc_c * (cbp_chroma == 2)[:, None, None]
-    nzc_c = tc_c.reshape(mb_h, mb_w, 2, 2, 2).transpose(
-        2, 0, 3, 1, 4).reshape(2, mb_h * 2, mb_w * 2)
-    nc_l = _nc_from(nzc_l)
-    nc_u = _nc_from(nzc_c[0])
-    nc_v = _nc_from(nzc_c[1])
+    nc_c = _nc_chroma(tc_c, mb_w, mb_h)
 
     ldc = jnp.asarray(out["luma_dc"], jnp.int32).reshape(-1, 16)[:n_mb]
-    gx0 = (ar % mb_w) * 4
-    gy0 = (ar // mb_w) * 4
-    dvv, dll, _ = residual_tokens(ldc[:, zz], nc_l[gy0, gx0], 16)
+    dvv, dll, _ = residual_tokens(_perm_last(ldc, zz), nc_l[:, 0], 16)
 
-    zz_z = zz_all[:, zsr, :]
-    bx = (zsr % 4)[None, :] + (ar % mb_w)[:, None] * 4
-    by = (zsr // 4)[None, :] + (ar // mb_w)[:, None] * 4
-    nc_lb = nc_l[by, bx]
+    zz_z = _perm_mid(zz_all, zsr)
+    nc_lb = _perm_last(nc_l, zsr)
     lv, ll, _ = residual_tokens(
         zz_z[:, :, 1:].reshape(-1, 15), nc_lb.reshape(-1), 15)
     lv = lv.reshape(n_mb, 16, RES_SLOTS)
@@ -463,11 +514,8 @@ def i_slice_tokens(out: dict, mb_w: int, mb_h: int):
     dcl = dcl.reshape(n_mb, 2, RES_SLOTS)
     dcl = dcl * (cbp_chroma > 0)[:, None, None]
 
-    cx = (ar % mb_w)[:, None] * 2 + jnp.arange(4)[None, :] % 2
-    cy = (ar // mb_w)[:, None] * 2 + jnp.arange(4)[None, :] // 2
     acv, acl, _ = residual_tokens(
-        cac_z[:, :, :, 1:].reshape(-1, 15),
-        jnp.stack([nc_u[cy, cx], nc_v[cy, cx]], 1).reshape(-1), 15)
+        cac_z[:, :, :, 1:].reshape(-1, 15), nc_c.reshape(-1), 15)
     acv = acv.reshape(n_mb, 2, 4, RES_SLOTS)
     acl = acl.reshape(n_mb, 2, 4, RES_SLOTS)
     acl = acl * (cbp_chroma == 2)[:, None, None, None]
@@ -481,38 +529,68 @@ def i_slice_tokens(out: dict, mb_w: int, mb_h: int):
     return av, al
 
 
-def pack_tokens_device(vals, lens, start_bit, max_tokens: int,
-                       max_bytes: int):
+def _compact_rows(combo, live, S: int):
+    """Left-compact live tokens within each row by bit-plane shifts.
+
+    Every live element's leftward move distance d = col - rank is
+    non-decreasing along the row with steps <= 1, which makes moving by
+    one distance bit per round collision-free (moved-from slots are
+    cleared, moved-into slots only ever held dead data or a token that
+    moved out in the same round). ~10 rounds of pure selects replace a
+    3.3M-element scatter that measured 21 ms at 720p.
+    """
+    d = (jnp.arange(S, dtype=jnp.int32)[None, :]
+         - (jnp.cumsum(live, 1).astype(jnp.int32) - 1))
+    d = jnp.where(live, d, 0)
+    combo = jnp.where(live, combo, 0)
+    b = 0
+    while (1 << b) < S:
+        sh = 1 << b
+        inc = jnp.pad(combo[:, sh:], ((0, 0), (0, sh)))
+        incd = jnp.pad(d[:, sh:], ((0, 0), (0, sh)))
+        move_in = (incd & sh) > 0
+        moved_away = (d & sh) > 0
+        combo = jnp.where(move_in, inc,
+                          jnp.where(moved_away, 0, combo))
+        d = jnp.where(move_in, incd - sh, jnp.where(moved_away, 0, d))
+        b += 1
+    return combo
+
+
+def pack_tokens_device(vals, lens, start_bit, max_bytes: int):
     """Pack (val,len) tokens MSB-first into a byte buffer on device.
 
-    vals/lens: arbitrary-shape token grids, flattened row-major (the
-    stream order). start_bit: bit offset of the first token (the slice
-    header's length mod 8, so the host can append the body directly
-    after the header bytes). A final rbsp stop bit is appended.
+    vals/lens: token grids whose row-major slot order is the stream
+    order. start_bit: bit offset of the first token (the slice header's
+    length mod 8, so the host can append the body directly after the
+    header bytes). The rbsp stop bit is added by the host (it owns the
+    final byte anyway).
 
-    Returns (bytes u8 [max_bytes], n_bits i32, overflow bool).
+    Tokens are fused into one word (len << 16 | val — every emitted
+    value fits 16 bits because long codes are unary-prefixed), live
+    tokens are left-compacted with bit-plane shifts (4.8 ms for a 3.3M
+    slot grid vs 21 ms for the equivalent XLA scatter), and each token
+    contributes <= 5 bytes via scatter-add (contributions of different
+    tokens to one byte occupy disjoint bit ranges, so add == or).
+
+    Returns (bytes u8 [max_bytes], end_bit i32 (absolute), overflow).
     """
-    v = vals.reshape(-1).astype(jnp.uint32)
-    ln = lens.reshape(-1).astype(jnp.int32)
-    start = jnp.asarray(start_bit, jnp.int32)
-    off = start + jnp.cumsum(ln) - ln
-    total_bits = off[-1] + ln[-1]
-
+    N = int(np.prod(lens.shape))
+    max_tok = min(1 << 18, N)
+    ln = lens.reshape(1, -1).astype(jnp.uint32)
+    combo = (ln << 16) | vals.reshape(1, -1).astype(jnp.uint32)
     live = ln > 0
-    cpos = jnp.cumsum(live) - 1
-    n_live = cpos[-1] + 1
-    tgt = jnp.where(live, cpos, max_tokens)
-    cv = jnp.zeros(max_tokens + 1, jnp.uint32).at[tgt].set(v, mode="drop")
-    cl = jnp.zeros(max_tokens + 1, jnp.int32).at[tgt].set(ln, mode="drop")
-    co = jnp.zeros(max_tokens + 1, jnp.int32).at[tgt].set(off, mode="drop")
-    # append the rbsp stop bit as one more token
-    cv = cv.at[jnp.minimum(n_live, max_tokens)].set(1)
-    cl = cl.at[jnp.minimum(n_live, max_tokens)].set(1)
-    co = co.at[jnp.minimum(n_live, max_tokens)].set(total_bits)
-    total_bits = total_bits + 1
+    n_live = live.sum()
+    cw = _compact_rows(combo, live, N)[0, :max_tok]
+    cl = (cw >> 16).astype(jnp.int32)
+    cv = cw & 0xFFFF
 
-    shift = co & 7
-    bpos = co >> 3
+    start = jnp.asarray(start_bit, jnp.int32)
+    off = start + jnp.cumsum(cl) - cl
+    end_bit = start + ln.astype(jnp.int32).sum()
+
+    shift = off & 7
+    bpos = off >> 3
     outw = jnp.zeros(max_bytes, jnp.uint32)
     for i in range(5):
         s = cl + shift - 8 * (i + 1)
@@ -521,5 +599,5 @@ def pack_tokens_device(vals, lens, start_bit, max_tokens: int,
                          cv << jnp.minimum(jnp.maximum(-s, 0), 31)) & 0xFF
         byte = jnp.where(cl > 0, byte, 0).astype(jnp.uint32)
         outw = outw.at[bpos + i].add(byte, mode="drop")
-    overflow = (n_live > max_tokens) | (total_bits > 8 * max_bytes - 40)
-    return outw.astype(jnp.uint8), total_bits, overflow
+    overflow = (n_live > max_tok) | (end_bit > 8 * max_bytes - 40)
+    return outw.astype(jnp.uint8), end_bit, overflow

@@ -47,7 +47,12 @@ def get_lib():
         if so is None:
             _lib = False
             return None
-        lib = ctypes.CDLL(so)
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            # stale/foreign-arch .so: fall back to the numpy twins
+            _lib = False
+            return None
         lib.bitpack.restype = ctypes.c_size_t
         lib.bitpack.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t,

@@ -51,16 +51,24 @@ def _p_frame_symbols(seed=1, mbw=6, mbh=5, qp=28, intra_mbs=(3, 7, 12)):
     return out, mbw, mbh, qp
 
 
-def test_p_slice_tokens_matches_numpy():
-    out, mbw, mbh, qp = _p_frame_symbols()
-    av, al, tv, tl = cavlc_vec.write_p_slice_tokens(out, mbw, mbh)
-    av2 = np.asarray(entropy_jax.p_slice_tokens(out, mbw, mbh, qp)[0])
-    al2 = np.asarray(entropy_jax.p_slice_tokens(out, mbw, mbh, qp)[1])
-    assert np.array_equal(al, al2[:, :-1])
-    assert np.array_equal(av * (al > 0), av2[:, :-1] * (al2[:, :-1] > 0))
-    # tail skip-run token
-    if tv is not None:
-        assert al2[-1, -1] == tl[0] and av2[-1, -1] == tv[0]
+def test_p_slice_stream_matches_numpy():
+    """Device token slots differ in layout from cavlc_vec (position-
+    keyed vs emission-keyed), but the concatenation of live tokens must
+    produce the identical bit stream."""
+    for seed in (1, 2):
+        out, mbw, mbh, qp = _p_frame_symbols(seed=seed)
+        av, al, tv, tl = cavlc_vec.write_p_slice_tokens(out, mbw, mbh)
+        hdr_bits = np.zeros(0, np.uint8)
+        groups = [(av, al)] + ([(tv, tl)] if tv is not None else [])
+        ref = cavlc_vec.assemble_rbsp(hdr_bits, groups)
+        av2, al2 = entropy_jax.p_slice_tokens(out, mbw, mbh, qp)
+        packed, nbits, ovf = entropy_jax.pack_tokens_device(
+            av2, al2, 0, 1 << 13)
+        assert not bool(ovf)
+        nbits = int(nbits)
+        got = bytearray(np.asarray(packed)[:(nbits + 8) // 8].tobytes())
+        got[nbits // 8] |= 0x80 >> (nbits % 8)   # host-side stop bit
+        assert bytes(got) == ref
 
 
 def test_pack_tokens_device_matches_assemble_rbsp():
@@ -71,24 +79,27 @@ def test_pack_tokens_device_matches_assemble_rbsp():
     ref = cavlc_vec.assemble_rbsp(hdr_bits, groups)
     av2, al2 = entropy_jax.p_slice_tokens(out, mbw, mbh, qp)
     packed, nbits, ovf = entropy_jax.pack_tokens_device(
-        av2, al2, len(hdr_bits) % 8, 1 << 15, 1 << 13)
+        av2, al2, len(hdr_bits) % 8, 1 << 13)
     assert not bool(ovf)
     packed = np.asarray(packed)
+    nbits = int(nbits)
     hb = len(hdr_bits)
+    body = bytearray(packed[:(nbits + 8) // 8].tobytes())
+    body[nbits // 8] |= 0x80 >> (nbits % 8)
     full = bytearray(np.packbits(hdr_bits)[:hb // 8].tobytes())
-    nbytes = (int(nbits) + 7) // 8
     if hb % 8:
-        full.append(int(np.packbits(hdr_bits)[hb // 8]) | int(packed[0]))
-        full += packed[1:nbytes].tobytes()
+        full.append(int(np.packbits(hdr_bits)[hb // 8]) | body[0])
+        full += body[1:]
     else:
-        full += packed[:nbytes].tobytes()
+        full += body
     assert bytes(full) == ref
 
 
 def test_pack_overflow_flag():
-    vals = jnp.ones((100,), jnp.uint32)
-    lens = jnp.full((100,), 8, jnp.uint8)
-    _, _, ovf = entropy_jax.pack_tokens_device(vals, lens, 0, 50, 1 << 10)
+    # byte-budget overflow
+    vals = jnp.ones((64, 100), jnp.uint32)
+    lens = jnp.full((64, 100), 20, jnp.uint8)
+    _, _, ovf = entropy_jax.pack_tokens_device(vals, lens, 0, 1 << 6)
     assert bool(ovf)
 
 
