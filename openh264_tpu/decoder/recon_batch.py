@@ -223,8 +223,11 @@ def recon_frame_batch(fs: FrameSymbols, ref_pics: dict,
         _recon_inter_batch(st, fs, ref_pics, inter_idx, device=device)
     # intra MBs in raster order (wavefront deps on recon pixels)
     intra_list = np.nonzero(np.isin(fs.mb_type, INTRA_CLASSES) & mb_ok)[0]
-    for idx in intra_list:
-        recon_intra_mb(st, int(idx), constrained)
+    if len(intra_list):
+        from ..native import recon_intra_mbs_native
+        if not recon_intra_mbs_native(st, fs, intra_list, constrained):
+            for idx in intra_list:
+                recon_intra_mb(st, int(idx), constrained)
     return st
 
 

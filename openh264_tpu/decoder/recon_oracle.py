@@ -187,20 +187,17 @@ def recon_inter_mb(st: ReconState, idx: int, ref_pics: dict) -> None:
             out = idct8x8_add(p8, coef) if np.any(coef) else p8
             st.y[y0 + b8y:y0 + b8y + 8, x0 + b8x:x0 + b8x + 8] = out
     else:
-        for blk in range(16):
-            bx, by = blk % 4, blk // 4
-            p = pred_y[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            coef = fs.coeffs_l[idx, blk].reshape(4, 4)
-            st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
-                idct4x4_add(p, coef)
-    # chroma residual add per 4x4 chroma block
+        # all 16 luma blocks in one batched IDCT call
+        coefs = fs.coeffs_l[idx].reshape(4, 4, 4, 4)
+        pb = pred_y.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)
+        st.y[y0:y0 + 16, x0:x0 + 16] = idct4x4_add(pb, coefs).transpose(
+            0, 2, 1, 3).reshape(16, 16)
+    # chroma residual add: both components' 4 blocks in one batch
     for comp, plane, cpred in ((0, st.u, st._cpred_u), (1, st.v, st._cpred_v)):
-        for cblk in range(4):
-            bx, by = cblk % 2, cblk // 2
-            p = cpred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            coef = fs.coeffs_c[idx, comp, cblk].reshape(4, 4)
-            plane[cy0 + by * 4:cy0 + by * 4 + 4, cx0 + bx * 4:cx0 + bx * 4 + 4] = \
-                idct4x4_add(p, coef)
+        coefs = fs.coeffs_c[idx, comp].reshape(2, 2, 4, 4)
+        pb = cpred.reshape(2, 4, 2, 4).transpose(0, 2, 1, 3)
+        plane[cy0:cy0 + 8, cx0:cx0 + 8] = idct4x4_add(pb, coefs).transpose(
+            0, 2, 1, 3).reshape(8, 8)
 
 
 def recon_intra_mb(st: ReconState, idx: int, constrained: bool) -> None:
@@ -225,13 +222,12 @@ def recon_intra_mb(st: ReconState, idx: int, constrained: bool) -> None:
         left = st.y[y0:y0 + 16, x0 - 1].astype(np.int32) if al else np.zeros(16, np.int32)
         tl = int(st.y[y0 - 1, x0 - 1]) if atl else 0
         pred = oi.predict_16x16(int(fs.i16_mode[idx]), top, left, tl, at, al)
-        # add residual per 4x4 block
-        for blk in range(16):
-            bx, by = blk % 4, blk // 4
-            p = pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4]
-            coef = fs.coeffs_l[idx, blk].reshape(4, 4)
-            st.y[y0 + by * 4:y0 + by * 4 + 4, x0 + bx * 4:x0 + bx * 4 + 4] = \
-                idct4x4_add(p, coef)
+        # add residual: all 16 blocks in ONE batched IDCT call
+        coefs = fs.coeffs_l[idx].reshape(4, 4, 4, 4)         # [by,bx,4,4]
+        pb = pred.reshape(4, 4, 4, 4).transpose(0, 2, 1, 3)  # [by,bx,4,4]
+        rec = idct4x4_add(pb, coefs)
+        st.y[y0:y0 + 16, x0:x0 + 16] = \
+            rec.transpose(0, 2, 1, 3).reshape(16, 16)
     elif t == MB_I8x8:
         from ..oracle.intra8 import idct8x8_add, predict_8x8
         fs.ensure_coeffs8()

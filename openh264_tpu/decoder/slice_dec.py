@@ -695,6 +695,12 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
     """Parse all MBs of a slice. Returns index one past the last MB."""
     sh = ctx.sh
     fs = ctx.fs
+    # native C fast path (I/P CAVLC, no 8x8 transform); identical
+    # semantics, tested bit-exact by the conformance suite
+    from ..native import parse_cavlc_slice_native
+    end = parse_cavlc_slice_native(br, ctx)
+    if end is not None:
+        return end
     mb_idx = sh.first_mb_in_slice
     n_mb = ctx.mb_w * ctx.mb_h
     if sh.slice_type == I_SLICE:

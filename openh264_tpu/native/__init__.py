@@ -15,7 +15,9 @@ import tempfile
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_HERE, "codec_native.c")
+_SRCS = [os.path.join(_HERE, "codec_native.c"),
+         os.path.join(_HERE, "parse_cavlc.c"),
+         os.path.join(_HERE, "recon_intra.c")]
 
 _lib = None
 
@@ -23,13 +25,13 @@ _lib = None
 def _build() -> str | None:
     so = os.path.join(_HERE, "codec_native.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS)
+        if not os.path.exists(so) or os.path.getmtime(so) < src_mtime:
             with tempfile.NamedTemporaryFile(
                     suffix=".so", dir=_HERE, delete=False) as tmp:
                 tmppath = tmp.name
             r = subprocess.run(
-                ["cc", "-O3", "-shared", "-fPIC", "-o", tmppath, _SRC],
+                ["cc", "-O3", "-shared", "-fPIC", "-o", tmppath] + _SRCS,
                 capture_output=True, timeout=120)
             if r.returncode != 0:
                 os.unlink(tmppath)
@@ -60,6 +62,10 @@ def get_lib():
         lib.deblock_frame_c.restype = None
         lib.deblock_frame_c.argtypes = [ctypes.c_void_p] * 3 + \
             [ctypes.c_int] * 2 + [ctypes.c_void_p] * 13 + [ctypes.c_int] * 2
+        lib.parse_cavlc_slice.restype = ctypes.c_int
+        lib.parse_cavlc_slice.argtypes = [ctypes.c_void_p] * 3
+        lib.recon_intra_mbs.restype = None
+        lib.recon_intra_mbs.argtypes = [ctypes.c_void_p] * 2
         _lib = lib
     return _lib if _lib else None
 
@@ -119,4 +125,154 @@ def deblock_frame_native(st, fs, BSV, BSH, coffs) -> bool:
         st.u[:] = u
     if v is not st.v:
         st.v[:] = v
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Native CAVLC slice parser glue
+# ---------------------------------------------------------------------------
+_cavlc_tables = None
+
+
+def _get_cavlc_tables():
+    global _cavlc_tables
+    if _cavlc_tables is None:
+        from ..tables.cavlc import (COEFF_TOKEN_LUTS, TOTAL_ZEROS_LUTS,
+                                    TOTAL_ZEROS_CDC_LUTS, RUN_BEFORE_LUTS,
+                                    CBP_INTER, CBP_INTRA, CBP_I16x16)
+        from ..tables import CHROMA_QP_TABLE, ZIGZAG_4x4
+        _cavlc_tables = {
+            "ct": np.ascontiguousarray(np.stack(COEFF_TOKEN_LUTS), np.uint32),
+            "tz": np.ascontiguousarray(
+                np.stack([TOTAL_ZEROS_LUTS[i] if i < len(TOTAL_ZEROS_LUTS)
+                          and TOTAL_ZEROS_LUTS[i] is not None
+                          else np.zeros(512, np.uint32)
+                          for i in range(16)]), np.uint32),
+            "tzc": np.ascontiguousarray(
+                np.stack([TOTAL_ZEROS_CDC_LUTS[i]
+                          if TOTAL_ZEROS_CDC_LUTS[i] is not None
+                          else np.zeros(8, np.uint32)
+                          for i in range(4)]), np.uint32),
+            "rb": np.ascontiguousarray(
+                np.stack([RUN_BEFORE_LUTS[i] if RUN_BEFORE_LUTS[i] is not None
+                          else np.zeros(2048, np.uint32)
+                          for i in range(8)]), np.uint32),
+            "cbp_inter": np.ascontiguousarray(CBP_INTER, np.int32),
+            "cbp_intra": np.ascontiguousarray(CBP_INTRA, np.int32),
+            "cbp_i16": np.ascontiguousarray(CBP_I16x16, np.int32),
+            "cqp": np.ascontiguousarray(CHROMA_QP_TABLE, np.int32),
+            "zz": np.ascontiguousarray(ZIGZAG_4x4, np.int32),
+        }
+    return _cavlc_tables
+
+
+def _dq_eff(dq):
+    """Effective [6][52][16] int64 dequant table (see parse_cavlc.c):
+    flat -> DEQUANT_4x4 << 4 for every property; scaling lists -> the
+    per-property sl*deq products. (level*dq + 8) >> 4 then equals the
+    flat multiply exactly."""
+    from ..tables import DEQUANT_4x4
+    if getattr(dq, "use", False):
+        return np.ascontiguousarray(dq.dq4, np.int64)
+    flat = (DEQUANT_4x4.astype(np.int64) << 4)
+    return np.ascontiguousarray(
+        np.broadcast_to(flat, (6, 52, 16)).copy(), np.int64)
+
+
+def parse_cavlc_slice_native(br, ctx) -> int | None:
+    """Run the C CAVLC slice parser; returns end mb index or None when
+    the slice is out of native scope (caller falls back to Python)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sh = ctx.sh
+    from ..decoder.slicehdr import I_SLICE, P_SLICE
+    if sh.slice_type not in (I_SLICE, P_SLICE):
+        return None
+    if sh.pps.transform_8x8_mode:
+        return None
+    fs = ctx.fs
+    from ..decoder.mvpred import ensure_motion_grids
+    ensure_motion_grids(fs)
+    t = _get_cavlc_tables()
+    dq_eff = _dq_eff(ctx.dq)
+    n_mb = fs.n_mb
+    ipcm_buf = np.zeros((n_mb, 384), np.uint8)
+    ipcm_flag = np.zeros(n_mb, np.uint8)
+    l0_ids = np.array(
+        [p.pic_id if p is not None else -1 for p in ctx.ref_list0],
+        np.int32)
+    if len(l0_ids) == 0:
+        l0_ids = np.zeros(1, np.int32)
+    rbsp = np.frombuffer(br.data, np.uint8)
+    t8 = np.zeros(n_mb, np.uint8)
+    arrs = [rbsp, t["ct"], t["tz"], t["tzc"], t["rb"], t["cbp_inter"],
+            t["cbp_intra"], t["cbp_i16"], dq_eff, t["cqp"], t["zz"],
+            fs.mb_type, fs.slice_id, fs.i4_grid, fs.i16_mode, fs.i4_modes,
+            fs.chroma_mode, fs.cbp, fs.qp, fs.nzc_l, fs.nzc_c,
+            fs.coeffs_l, fs.coeffs_c, fs.mv, fs.refidx, fs.ref_pic,
+            fs.pred_mode, fs.gmv, fs.gref, fs.gwritten, fs.grefw,
+            l0_ids, fs.disable_deblock, fs.alpha_offset, fs.beta_offset,
+            fs.mb_correct, ipcm_buf, ipcm_flag, t8]
+    for a in arrs:
+        if not a.flags["C_CONTIGUOUS"]:
+            return None
+    ptrs = np.array([a.ctypes.data for a in arrs], np.uint64)
+    params = np.array([
+        br.nbits, br.pos, 0 if sh.slice_type == P_SLICE else 2,
+        sh.first_mb_in_slice, fs.mb_w, fs.mb_h, ctx.slice_idx, ctx.qp,
+        sh.num_ref_idx_l0_active, int(ctx.constrained_intra),
+        sh.disable_deblocking_filter_idc, sh.slice_alpha_c0_offset,
+        sh.slice_beta_offset, sh.pps.chroma_qp_index_offset,
+        sh.pps.second_chroma_qp_index_offset, len(l0_ids)], np.int32)
+    out = np.zeros(4, np.int32)
+    lib.parse_cavlc_slice(ptrs.ctypes.data, params.ctypes.data,
+                          out.ctypes.data)
+    br.pos = int(out[1])
+    if out[2] == 1:
+        raise EOFError("bitstream overrun (native CAVLC parse)")
+    if out[2] != 0:
+        raise ValueError("invalid CAVLC bitstream (native parse)")
+    fs.chroma_qp_offsets = (sh.pps.chroma_qp_index_offset,
+                            sh.pps.second_chroma_qp_index_offset)
+    if ipcm_flag.any():
+        for idx in np.nonzero(ipcm_flag)[0]:
+            raw = ipcm_buf[idx]
+            fs.ipcm[int(idx)] = (raw[:256].reshape(16, 16).copy(),
+                                 raw[256:320].reshape(8, 8).copy(),
+                                 raw[320:].reshape(8, 8).copy())
+    return int(out[0])
+
+
+def recon_intra_mbs_native(st, fs, intra_list, constrained: bool) -> bool:
+    """C intra recon for I4x4/I16x16/IPCM MB lists (raster order).
+    Returns False when unavailable or the frame needs the Python path
+    (I8x8 / 8x8 transform MBs present)."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    types = fs.mb_type[intra_list]
+    if (types == 3).any():          # MB_I8x8 -> Python
+        return False
+    n_mb = fs.n_mb
+    ipcm_flag = np.zeros(n_mb, np.uint8)
+    ipcm_buf = np.zeros((1, 384), np.uint8)
+    if fs.ipcm:
+        ipcm_buf = np.zeros((n_mb, 384), np.uint8)
+        for idx, (y, u, v) in fs.ipcm.items():
+            ipcm_flag[idx] = 1
+            ipcm_buf[idx, :256] = np.asarray(y, np.uint8).reshape(-1)
+            ipcm_buf[idx, 256:320] = np.asarray(u, np.uint8).reshape(-1)
+            ipcm_buf[idx, 320:] = np.asarray(v, np.uint8).reshape(-1)
+    mb_list = np.ascontiguousarray(intra_list, np.int32)
+    arrs = [st.y, st.u, st.v, fs.mb_type, fs.slice_id, fs.i16_mode,
+            fs.i4_modes, fs.chroma_mode, fs.coeffs_l, fs.coeffs_c,
+            ipcm_buf, ipcm_flag, mb_list]
+    for a in arrs:
+        if not a.flags["C_CONTIGUOUS"]:
+            return False
+    ptrs = np.array([a.ctypes.data for a in arrs], np.uint64)
+    params = np.array([fs.mb_w, fs.mb_h, len(mb_list),
+                       int(constrained)], np.int32)
+    lib.recon_intra_mbs(ptrs.ctypes.data, params.ctypes.data)
     return True

@@ -131,6 +131,13 @@ def precompute_bs(fs):
         nzp = np.where(t8g[ip], nz8[ip], nz[ip])
         nzq = np.where(t8g[iq], nz8[iq], nz[iq])
         bs = np.where(nzp | nzq, 2, bs)
+        # interior-edge overrides (WelsDeblockingMb, deblocking.cpp:1184):
+        # IS_SKIP -> no interior edges; IS_INTER_16x16 (incl. direct MBs
+        # promoted by GetColocatedMb) -> nz-only, no mv term. Both sides
+        # of an interior edge are the same MB, so index via iq.
+        ibs = _expand_mb_to_blocks(fs.ibs_mode, fs.mb_h, fs.mb_w)[iq]
+        bs = np.where(~mbb & (ibs == 1), np.where(nzp | nzq, 2, 0), bs)
+        bs = np.where(~mbb & (ibs == 2), 0, bs)
         # intra rules override
         bs = np.where(mbb & (intra_p | intra_q), 4, bs)
         bs = np.where(~mbb & intra_q, 3, bs)
