@@ -288,9 +288,16 @@ class H264Decoder:
         intra_mb = np.isin(fs.mb_type.reshape(fs.mb_h, fs.mb_w),
                            INTRA_CLASSES)
         pic.col_intra = np.repeat(np.repeat(intra_mb, 4, axis=0), 4, axis=1)
-        # per-MB 16x16-class (post direct promotion) for GetColocatedMb's
-        # IS_INTER_16x16 test; intra always counts (mv_pred.cpp:342)
-        pic.col_mb16 = fs.mb16 | intra_mb.reshape(-1)
+        # per-MB 16x16-class for GetColocatedMb's IS_INTER_16x16 test
+        # (mv_pred.cpp:341): the stored type is 16x16-class for explicit
+        # P/B 16x16 and skip MBs (P_SKIP gains MB_TYPE_16x16 at :334),
+        # for intra, and for whole-direct MBs whose promotion fs.mb16
+        # recorded during decode.
+        # (B_SKIP/B_DIRECT keep their recorded promotion in fs.mb16 —
+        # their stored type is only 16x16-class when the promotion was)
+        from .framedata import MB_P16x16, MB_PSKIP, MB_B16x16
+        explicit16 = np.isin(fs.mb_type, (MB_P16x16, MB_PSKIP, MB_B16x16))
+        pic.col_mb16 = fs.mb16 | explicit16 | intra_mb.reshape(-1)
 
     @staticmethod
     def _crop(sps, st):

@@ -11,13 +11,16 @@ import numpy as np
 # direct_8x8_inference corner block index within an 8x8 (in 4x4 units)
 
 
-def distance_scale_factor(poc_lsb: int, poc0: int, poc1: int) -> int:
+def distance_scale_factor(poc_cur: int, poc0: int, poc1: int) -> int:
     """DistScaleFactor for temporal direct: col ref poc0 (L0 target),
     col pic poc1 (L1[0]).  Matches decode_slice.cpp
-    ComputeColocatedTemporalScaling: tb uses the RAW
-    pic_order_cnt_lsb of the current slice while poc0/poc1 are the
-    refs' computed iFramePoc, and tx uses C (truncating) division."""
-    tb = int(np.clip(poc_lsb - poc0, -128, 127))
+    ComputeColocatedTemporalScaling: it reads
+    pSliceHeader->iPicOrderCntLsb, but the slice-header parse has
+    already OVERWRITTEN that field with the full unwrapped POC
+    (pocMsb + pocLsb, decoder_core.cpp:1092) — so tb uses the current
+    picture's computed POC, like poc0/poc1 use the refs' iFramePoc.
+    tx uses C (truncating) division."""
+    tb = int(np.clip(poc_cur - poc0, -128, 127))
     td = int(np.clip(poc1 - poc0, -128, 127))
     if td == 0:
         return 256
@@ -44,8 +47,7 @@ class DirectContext:
         # precompute DistScaleFactor per l0 index (post-reorder list,
         # as ComputeColocatedTemporalScaling runs after InitRefPicList)
         if self.col is not None:
-            lsb = getattr(sh, "pic_order_cnt_lsb", poc_cur)
-            self.dsf = [distance_scale_factor(lsb, p.poc, self.col.poc)
+            self.dsf = [distance_scale_factor(poc_cur, p.poc, self.col.poc)
                         for p in ref_list0]
 
     def col_motion(self, bx: int, by: int):

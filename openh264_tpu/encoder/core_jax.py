@@ -459,6 +459,41 @@ def encode_i16_flat(y, u, v, qp, qp_c, mb_w: int, mb_h: int,
 # ---------------------------------------------------------------------------
 PAD = 24  # reference border padding (>= search range + filter taps)
 
+# lambda for motion cost: g_kiQpCostTable (encoder_data_tables.cpp:59);
+# ME costs are metric + lambda * se_bits(mvd) like COST_MVD (md.cpp:797)
+QP_COST_TABLE = np.array(
+    [1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2,
+     3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14,
+     16, 18, 20, 23, 25, 29, 32, 36, 40, 45, 51, 57, 64, 72, 81, 91],
+    np.int32)
+
+
+def _se_nbits(d):
+    """Exact se(v) code length for mvd component d (quarter-pel units)."""
+    k = 2 * jnp.abs(d)              # se code index
+    kp1 = k + 1
+    nb = jnp.zeros_like(k)
+    for i in range(1, 14):
+        nb = nb + (kp1 >= (1 << i)).astype(k.dtype)
+    return 2 * nb + 1
+
+
+def _coarse_mvp(cmv_x, cmv_y, mb_w, mb_h):
+    """Approximate per-MB MVP (quarter-pel) from the coarse-search
+    motion field: median of left/top/top-right like PredMv, computed on
+    the 4x-level MVs. Used only inside ME cost terms — the bitstream's
+    true MVP is still derived at write time."""
+    def med_field(f):
+        g = f.reshape(mb_h, mb_w)
+        z = jnp.zeros_like(g)
+        left = z.at[:, 1:].set(g[:, :-1])
+        top = z.at[1:, :].set(g[:-1, :])
+        tr = z.at[1:, :-1].set(g[:-1, 1:])
+        med = left + top + tr - jnp.minimum(jnp.minimum(left, top), tr) \
+            - jnp.maximum(jnp.maximum(left, top), tr)
+        return med.reshape(-1)
+    return med_field(cmv_x) * 4, med_field(cmv_y) * 4
+
 
 def pad_ref(plane):
     """Replicate-pad a plane by PAD (like ExpandReferencingPicture)."""
@@ -476,8 +511,8 @@ def _extract_patches(plane, size, stride, out_h, out_w):
     return p.reshape(size * size, out_h * out_w).T.reshape(-1, size, size)
 
 
-def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
-    """Hierarchical full-pel SSD search with effective range
+def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam_mb):
+    """Hierarchical full-pel search with effective range
     [-(4*cr+3), 4*cr+3], cr = ceil(sr/4):
 
     1. Exhaustive search on 4x-mean-downsampled planes over +-cr coarse
@@ -498,7 +533,8 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     H, W = mb_h * 16, mb_w * 16
     cr = max(1, -(-sr // 4))
     n4 = 2 * cr + 1
-    lam_i = lam.astype(jnp.float32)
+    lam_mb = jnp.broadcast_to(jnp.asarray(lam_mb, jnp.int32), (n_mb,))
+    lam_i = lam_mb.astype(jnp.float32).mean()
 
     # ---- stage 1: coarse 4x search ----
     yi = y.astype(jnp.int32)
@@ -540,6 +576,9 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     cmv_x = ((best_o4 % n4) - cr).reshape(n_mb) * 4
 
     # ---- stage 2: full-res +-3 refine around the coarse best ----
+    # SAD + lambda*se_bits(mvd vs the coarse-field MVP) like the
+    # reference's full-pel search cost (COST_MVD, md.cpp:602)
+    mvp_qx, mvp_qy = _coarse_mvp(cmv_x, cmv_y, mb_w, mb_h)
     gy = PAD + row_off + (jnp.arange(n_mb) // mb_w) * 16 + cmv_y - 3
     gx = PAD + (jnp.arange(n_mb) % mb_w) * 16 + cmv_x - 3
     w22 = mxu_gather_windows(ry, gy, gx, 22)
@@ -554,18 +593,16 @@ def _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam):
     for k, (ox, oy) in enumerate(offs):
         p = jax.lax.slice(Gw, (3 + oy, 3 + ox, 0),
                           (19 + oy, 19 + ox, n_mb))
-        d = src_soa - p
-        ssd = (d * d).sum((0, 1))
-        mvx = cmv_x + ox
-        mvy = cmv_y + oy
-        cost = ssd + (lam_i * ((jnp.abs(mvx) + jnp.abs(mvy)) * 4)
-                      ).astype(jnp.int32)
+        sad = jnp.abs(src_soa - p).sum((0, 1))
+        bits = _se_nbits((cmv_x + ox) * 4 - mvp_qx) + \
+            _se_nbits((cmv_y + oy) * 4 - mvp_qy)
+        cost = sad + lam_mb * bits
         better = cost < best_cost
         best_cost = jnp.where(better, cost, best_cost)
         best_k = jnp.where(better, k, best_k)
     off_arr = jnp.asarray(offs, jnp.int32)                    # [49,2]
     mv = jnp.stack([cmv_x, cmv_y], -1) + off_arr[best_k]
-    return best_cost.astype(jnp.float32), mv
+    return best_cost.astype(jnp.float32), mv, mvp_qx, mvp_qy
 
 
 def mxu_gather_windows(plane, gy, gx, size):
@@ -625,9 +662,45 @@ def _onehot_window_conv(region, mb_w, mb_h, patch, out, n_off, oh_idx_y,
         preferred_element_type=jnp.float32)[0]
 
 
+def _skip_mv_field(mv_q, mb_w, mb_h):
+    """P_Skip motion (§8.4.1.1) over a P16x16 quarter-pel MV field —
+    the same computation as entropy_jax._mvp_p16x16's skip output,
+    duplicated here so the core can evaluate skip candidates."""
+    mv = mv_q.reshape(mb_h, mb_w, 2)
+    z = jnp.zeros_like(mv)
+    f = jnp.zeros((mb_h, mb_w), bool)
+    availA = f.at[:, 1:].set(True)
+    availB = f.at[1:, :].set(True)
+    availC = f.at[1:, :-1].set(True)
+    availD = f.at[1:, 1:].set(True)
+    mvA = z.at[:, 1:].set(mv[:, :-1])
+    mvB = z.at[1:, :].set(mv[:-1, :])
+    mvC = z.at[1:, :-1].set(mv[:-1, 1:])
+    mvD = z.at[1:, 1:].set(mv[:-1, :-1])
+    mvc = jnp.where(availC[..., None], mvC, mvD)
+    availc = availC | availD
+    n_match = availA.astype(jnp.int32) + availB + availc
+    a = jnp.where(availA[..., None], mvA, 0)
+    b = jnp.where(availB[..., None], mvB, 0)
+    cc = jnp.where(availc[..., None], mvc, 0)
+    med = a + b + cc - jnp.minimum(jnp.minimum(a, b), cc) \
+        - jnp.maximum(jnp.maximum(a, b), cc)
+    one = jnp.where(availA[..., None], mvA,
+                    jnp.where(availB[..., None], mvB, mvc))
+    only_a = (~availB) & (~availc) & availA
+    mvp = jnp.where((n_match == 1)[..., None], one,
+                    jnp.where(only_a[..., None], mvA, med))
+    a_zero = availA & (mvA[..., 0] == 0) & (mvA[..., 1] == 0)
+    b_zero = availB & (mvB[..., 0] == 0) & (mvB[..., 1] == 0)
+    skip_zero = (~availA) | (~availB) | a_zero | b_zero
+    sk = jnp.where(skip_zero[..., None], 0, mvp)
+    return sk.reshape(-1, 2)
+
+
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
-                   mb_w: int, mb_h: int, sr: int = 8, row_off=0):
+                   mb_w: int, mb_h: int, sr: int = 8, row_off=0,
+                   prev_skip_sad=None, prev_skip=None):
     """Batched P-frame encode: MXU full-pel SSD search + windowed
     quarter-pel refine, P16x16-only partitions, intra fallback handled
     by the caller via the returned costs. Returns symbol tensors +
@@ -650,10 +723,11 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     # GOM rate control): the SoA quant/dequant broadcast per MB.
     qp = jnp.asarray(qp, jnp.int32)
     qp_c = jnp.asarray(qp_c, jnp.int32)
-    lam_qp = (qp.astype(jnp.float32) if qp.ndim == 0
-              else qp.astype(jnp.float32).mean())
-    lam = jnp.maximum(lam_qp - 12.0, 1.0)
-    int_cost, int_mv = _fullpel_search(y, ry, mb_w, mb_h, sr, row_off, lam)
+    lam_mb = jnp.broadcast_to(
+        jnp.asarray(QP_COST_TABLE)[jnp.clip(qp, 0, 51)],
+        (n_mb,)).astype(jnp.int32)
+    int_cost, int_mv, mvp_qx, mvp_qy = _fullpel_search(
+        y, ry, mb_w, mb_h, sr, row_off, lam_mb)
 
     src_mb = y.reshape(mb_h, 16, mb_w, 16).transpose(0, 2, 1, 3).reshape(n_mb, 16, 16).astype(jnp.int32)
 
@@ -752,64 +826,144 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     for k, (qx, qy) in enumerate(cands):
         p = sub_pred(qx, qy)
         cost_k = satd16(src_soa - p)
-        c = cost_k + (lam * (abs(qx) + abs(qy))).astype(jnp.int32)
+        bits = _se_nbits(int_mv[:, 0] * 4 + qx - mvp_qx) + \
+            _se_nbits(int_mv[:, 1] * 4 + qy - mvp_qy)
+        c = cost_k + lam_mb * bits
         better = c < best_cost
         best_cost = jnp.where(better, c, best_cost)
         best_q = jnp.where(better, k, best_q)
     coff = jnp.asarray(cands, jnp.int32)                       # [49,2]
     best_mv = int_mv * 4 + coff[best_q]
+
     # every quarter position is avg(sampleA, sampleB) of two of the
     # planes {G, Bw, Hw, Jw} (avg(a, a) == a), so build static per-cand
     # (plane, dy, dx) tables and gather the chosen pred per MB
     _PG, _PB, _PH, _PJ = 0, 1, 2, 3
-    ta, tb = [], []
-    for (qx, qy) in cands:
-        sx, fx = 3 + (qx >> 2), qx & 3
-        sy, fy = 3 + (qy >> 2), qy & 3
-        tab = {
-            (0, 0): ((_PG, sy, sx), (_PG, sy, sx)),
-            (0, 1): ((_PG, sy, sx), (_PB, sy, sx)),
-            (0, 2): ((_PB, sy, sx), (_PB, sy, sx)),
-            (0, 3): ((_PG, sy, sx + 1), (_PB, sy, sx)),
-            (1, 0): ((_PG, sy, sx), (_PH, sy, sx)),
-            (1, 1): ((_PB, sy, sx), (_PH, sy, sx)),
-            (1, 2): ((_PB, sy, sx), (_PJ, sy, sx)),
-            (1, 3): ((_PB, sy, sx), (_PH, sy, sx + 1)),
-            (2, 0): ((_PH, sy, sx), (_PH, sy, sx)),
-            (2, 1): ((_PH, sy, sx), (_PJ, sy, sx)),
-            (2, 2): ((_PJ, sy, sx), (_PJ, sy, sx)),
-            (2, 3): ((_PJ, sy, sx), (_PH, sy, sx + 1)),
-            (3, 0): ((_PG, sy + 1, sx), (_PH, sy, sx)),
-            (3, 1): ((_PH, sy, sx), (_PB, sy + 1, sx)),
-            (3, 2): ((_PJ, sy, sx), (_PB, sy + 1, sx)),
-            (3, 3): ((_PH, sy, sx + 1), (_PB, sy + 1, sx)),
-        }
-        a, b = tab[(fy, fx)]
-        ta.append(a)
-        tb.append(b)
-    # one-hot select of the two source samples per MB: the per-element
-    # gather formulation took ~10 ms on v5e; selecting among the 36
-    # possible (plane, dy, dx) variants with a one-hot contraction is
-    # MXU work instead. Variant id = plane*9 + (sy-2)*3 + (sx-2)
-    # (sy, sx are always in [2, 4] for quarter offsets in [-3, 3]).
+    _QTAB = {
+        (0, 0): lambda sy, sx: ((_PG, sy, sx), (_PG, sy, sx)),
+        (0, 1): lambda sy, sx: ((_PG, sy, sx), (_PB, sy, sx)),
+        (0, 2): lambda sy, sx: ((_PB, sy, sx), (_PB, sy, sx)),
+        (0, 3): lambda sy, sx: ((_PG, sy, sx + 1), (_PB, sy, sx)),
+        (1, 0): lambda sy, sx: ((_PG, sy, sx), (_PH, sy, sx)),
+        (1, 1): lambda sy, sx: ((_PB, sy, sx), (_PH, sy, sx)),
+        (1, 2): lambda sy, sx: ((_PB, sy, sx), (_PJ, sy, sx)),
+        (1, 3): lambda sy, sx: ((_PB, sy, sx), (_PH, sy, sx + 1)),
+        (2, 0): lambda sy, sx: ((_PH, sy, sx), (_PH, sy, sx)),
+        (2, 1): lambda sy, sx: ((_PH, sy, sx), (_PJ, sy, sx)),
+        (2, 2): lambda sy, sx: ((_PJ, sy, sx), (_PJ, sy, sx)),
+        (2, 3): lambda sy, sx: ((_PJ, sy, sx), (_PH, sy, sx + 1)),
+        (3, 0): lambda sy, sx: ((_PG, sy + 1, sx), (_PH, sy, sx)),
+        (3, 1): lambda sy, sx: ((_PH, sy, sx), (_PB, sy + 1, sx)),
+        (3, 2): lambda sy, sx: ((_PJ, sy, sx), (_PB, sy + 1, sx)),
+        (3, 3): lambda sy, sx: ((_PH, sy, sx + 1), (_PB, sy + 1, sx)),
+    }
+
     def vid(e):
         return e[0] * 9 + (e[1] - 2) * 3 + (e[2] - 2)
+
+    def qpel_select(planes4, va_idx, vb_idx):
+        """One-hot select of the two source samples per MB from the 36
+        possible (plane, dy, dx) variants — MXU work instead of the
+        per-element gather that took ~10 ms on v5e."""
+        S = jnp.stack([
+            jax.lax.slice(planes4[p], (sy, sx, 0), (sy + 16, sx + 16, n_mb))
+            for p in range(4) for sy in (2, 3, 4) for sx in (2, 3, 4)
+        ]).astype(jnp.bfloat16).reshape(36, 256, n_mb)         # [36,256,N]
+
+        def onehot_sel(v_idx):
+            oh = (v_idx[:, None] == jnp.arange(36, dtype=jnp.int32)[None, :]
+                  ).astype(jnp.bfloat16)                       # [N,36]
+            r = jnp.einsum("nv,vpn->pn", oh, S,
+                           preferred_element_type=jnp.float32)
+            return r.astype(jnp.int32).reshape(16, 16, n_mb)
+        return (onehot_sel(va_idx) + onehot_sel(vb_idx) + 1) >> 1
+
+    ta, tb = [], []
+    for (qx, qy) in cands:
+        a, b = _QTAB[(qy & 3, qx & 3)](3 + (qy >> 2), 3 + (qx >> 2))
+        ta.append(a)
+        tb.append(b)
     va_tab = jnp.asarray([vid(e) for e in ta], jnp.int32)      # [49]
     vb_tab = jnp.asarray([vid(e) for e in tb], jnp.int32)
-    planes4 = (G, Bw, Hw, Jw)
-    S = jnp.stack([
-        jax.lax.slice(planes4[p], (sy, sx, 0), (sy + 16, sx + 16, n_mb))
-        for p in range(4) for sy in (2, 3, 4) for sx in (2, 3, 4)
-    ]).astype(jnp.bfloat16).reshape(36, 256, n_mb)             # [36,256,N]
-    def onehot_sel(v_idx):
-        oh = (v_idx[:, None] == jnp.arange(36, dtype=jnp.int32)[None, :]
-              ).astype(jnp.bfloat16)                           # [N,36]
-        r = jnp.einsum("nv,vpn->pn", oh, S,
-                       preferred_element_type=jnp.float32)
-        return r.astype(jnp.int32).reshape(16, 16, n_mb)
-    A = onehot_sel(va_tab[best_q])
-    Bs = onehot_sel(vb_tab[best_q])
-    pred_soa = (A + Bs + 1) >> 1                               # [16,16,N]
+    pred_soa = qpel_select((G, Bw, Hw, Jw), va_tab[best_q], vb_tab[best_q])
+
+    # ---- early-skip promotion (WelsMdPSkipEnc, svc_base_layer_md.cpp
+    # :1423): evaluate the P_Skip prediction; adopt it when its SAD is
+    # zero, beats the co-located skip SAD of the previous frame (the
+    # pRefPic->pMbSkipSad rule), or beats the median skip-SAD of already
+    # -promoted causal neighbors (batched stand-in for PredictSadSkip).
+    skip_q = _skip_mv_field(best_mv, mb_w, mb_h)               # [N,2]
+    sk_int = skip_q >> 2
+    ar = jnp.arange(n_mb)
+    gy2 = PAD - 3 + row_off + (ar // mb_w) * 16 + sk_int[:, 1]
+    gx2 = PAD - 3 + (ar % mb_w) * 16 + sk_int[:, 0]
+    w24s = mxu_gather_windows(ry, gy2, gx2, 24)
+    G2 = jax.lax.optimization_barrier(w24s.transpose(1, 2, 0))
+    b2 = tap6(G2, 1)
+    B2 = jnp.pad(jnp.clip((b2 + 16) >> 5, 0, 255), ((0, 0), (2, 3), (0, 0)))
+    h2 = tap6(G2, 0)
+    H2 = jnp.pad(jnp.clip((h2 + 16) >> 5, 0, 255), ((2, 3), (0, 0), (0, 0)))
+    j2 = tap6(b2, 0)
+    J2 = jnp.pad(jnp.clip((j2 + 512) >> 10, 0, 255),
+                 ((2, 3), (2, 3), (0, 0)))
+    G2, B2, H2, J2 = jax.lax.optimization_barrier((G2, B2, H2, J2))
+    fa, fb = [], []
+    for fy in range(4):
+        for fx in range(4):
+            a, b = _QTAB[(fy, fx)](3, 3)
+            fa.append(vid(a))
+            fb.append(vid(b))
+    frac_idx = (skip_q[:, 1] & 3) * 4 + (skip_q[:, 0] & 3)
+    fa_t = jnp.asarray(fa, jnp.int32)
+    fb_t = jnp.asarray(fb, jnp.int32)
+    pred_skip = qpel_select((G2, B2, H2, J2), fa_t[frac_idx], fb_t[frac_idx])
+    sad_skip = jnp.abs(src_soa - pred_skip).sum((0, 1))
+
+    def chroma_pred(refc, mv_q):
+        cfx = (mv_q[:, 0] % 8).astype(jnp.int32)
+        cfy = (mv_q[:, 1] % 8).astype(jnp.int32)
+        cgy = PAD + (row_off >> 1) + (ar // mb_w) * 8 + (mv_q[:, 1] >> 3)
+        cgx = PAD + (ar % mb_w) * 8 + (mv_q[:, 0] >> 3)
+        w10 = mxu_gather_windows(refc, cgy, cgx, 10)
+        Wn = w10.transpose(1, 2, 0)                          # [10,10,N]
+        Aq = Wn[0:8, 0:8]
+        Bq = Wn[0:8, 1:9]
+        Cq = Wn[1:9, 0:8]
+        Dq = Wn[1:9, 1:9]
+        fx = cfx[None, None, :]
+        fy = cfy[None, None, :]
+        return ((8 - fx) * (8 - fy) * Aq + fx * (8 - fy) * Bq
+                + (8 - fx) * fy * Cq + fx * fy * Dq + 32) >> 6  # [8,8,N]
+
+    def chroma_soa(plane):                                   # [h,w] -> [8,8,N]
+        return plane.reshape(mb_h, 8, mb_w, 8).transpose(1, 3, 0, 2).reshape(
+            8, 8, n_mb).astype(jnp.int32)
+
+    src_u_soa = chroma_soa(u)
+    src_v_soa = chroma_soa(v)
+    pu_s = chroma_pred(ru, skip_q)
+    pv_s = chroma_pred(rv, skip_q)
+    sad_skip = sad_skip + jnp.abs(src_u_soa - pu_s).sum((0, 1)) \
+        + jnp.abs(src_v_soa - pv_s).sum((0, 1))
+
+    if prev_skip_sad is None:
+        prev_skip_sad = jnp.zeros(n_mb, jnp.int32)
+        prev_skip = jnp.zeros(n_mb, bool)
+    promote = (sad_skip == 0) | \
+        (jnp.asarray(prev_skip, bool) &
+         (sad_skip < jnp.asarray(prev_skip_sad, jnp.int32)))
+    for _ in range(2):
+        g = promote.reshape(mb_h, mb_w)
+        s = jnp.where(g, sad_skip.reshape(mb_h, mb_w), 0)
+        zz0 = jnp.zeros_like(s)
+        aA = zz0.at[:, 1:].set(s[:, :-1])
+        aB = zz0.at[1:, :].set(s[:-1, :])
+        aC = zz0.at[1:, :-1].set(s[:-1, 1:])
+        thr = aA + aB + aC - jnp.minimum(jnp.minimum(aA, aB), aC) \
+            - jnp.maximum(jnp.maximum(aA, aB), aC)
+        promote = promote | (sad_skip < thr.reshape(-1))
+    best_mv = jnp.where(promote[:, None], skip_q, best_mv)
+    pred_soa = jnp.where(promote[None, None, :], pred_skip, pred_soa)
 
     # ---- luma transform path, all SoA [4, 4, 16 blocks, N] ----
     def mb16_to_blocks(x):                                   # [16,16,N] ->
@@ -820,42 +974,15 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     predb = mb16_to_blocks(pred_soa).astype(jnp.int32)
     coef = dct4x4_soa(srcb - predb)
     lev = quant4x4_soa(coef, qp, False)
+    lev = jnp.where(promote[None, None, None, :], 0, lev)   # skip: no residual
     deq = dequant4x4_soa(lev, qp)
     recb = idct4x4_add_soa(predb, deq)                       # [4,4,16,N]
 
     rec_y_plane = recb.reshape(4, 4, 4, 4, mb_h, mb_w).transpose(
         4, 2, 0, 5, 3, 1).reshape(H, W).astype(jnp.uint8)
 
-    # ---- chroma MC (one-hot-conv windows + SoA bilinear) ----
-    cfx = (best_mv[:, 0] % 8).astype(jnp.int32)
-    cfy = (best_mv[:, 1] % 8).astype(jnp.int32)
-    cmx = best_mv[:, 0] >> 3
-    cmy = best_mv[:, 1] >> 3
-    # integer chroma offset range for |mv| <= 4*sr+3 quarter-pel
-    clo = -((4 * sr + 3 + 7) >> 3)
-    chi = (4 * sr + 3) >> 3
-    c_noff = chi - clo + 1
-    c_patch = 10 + c_noff - 1
-
-    def chroma_pred(refc):
-        # per-MB 10x10 chroma windows at (cmx, cmy), MXU one-hot gather
-        cgy = (PAD + (row_off >> 1) + (jnp.arange(n_mb) // mb_w) * 8 + cmy)
-        cgx = PAD + (jnp.arange(n_mb) % mb_w) * 8 + cmx
-        w10 = mxu_gather_windows(refc, cgy, cgx, 10)
-        Wn = w10.transpose(1, 2, 0)                          # [10,10,N]
-        A = Wn[0:8, 0:8]
-        Bq = Wn[0:8, 1:9]
-        C = Wn[1:9, 0:8]
-        D = Wn[1:9, 1:9]
-        fx = cfx[None, None, :].astype(jnp.int32)
-        fy = cfy[None, None, :].astype(jnp.int32)
-        return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * Bq
-                + (8 - fx) * fy * C + fx * fy * D + 32) >> 6  # [8,8,N]
-
-    def chroma_soa(plane):                                   # [h,w] -> [8,8,N]
-        return plane.reshape(mb_h, 8, mb_w, 8).transpose(1, 3, 0, 2).reshape(
-            8, 8, n_mb).astype(jnp.int32)
-
+    # ---- chroma MC + transforms (skip-promoted MBs keep the merged
+    # best_mv, so their prediction is already the skip prediction) ----
     def mb8_to_blocks(x):                                    # [8,8,N] ->
         return x.reshape(2, 4, 2, 4, n_mb).transpose(1, 3, 0, 2, 4).reshape(
             4, 4, 4, n_mb)                                   # [r,c,b,N]
@@ -866,6 +993,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         dc_lev = quant_dc_soa(hadamard2x2_soa(dcs), qp_c, False)
         ac_lev = quant4x4_soa(cf, qp_c, False)
         ac_lev = ac_lev.at[0, 0].set(0)
+        dc_lev = jnp.where(promote[None, None, :], 0, dc_lev)
+        ac_lev = jnp.where(promote[None, None, None, :], 0, ac_lev)
         rec_dc = chroma_dc_dequant_ihadamard_soa(dc_lev, qp_c)
         dq = dequant4x4_soa(ac_lev, qp_c)
         dq = dq.at[0, 0].set(rec_dc.reshape(4, n_mb))
@@ -877,17 +1006,26 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         ac_out = ac_lev.transpose(3, 2, 0, 1).reshape(n_mb, 4, 16)
         return dc_out, ac_out, plane
 
-    dcu, acu, rec_u_plane = chroma_tx(chroma_soa(u), chroma_pred(ru))
-    dcv, acv, rec_v_plane = chroma_tx(chroma_soa(v), chroma_pred(rv))
+    dcu, acu, rec_u_plane = chroma_tx(src_u_soa, chroma_pred(ru, best_mv))
+    dcv, acv, rec_v_plane = chroma_tx(src_v_soa, chroma_pred(rv, best_mv))
 
     # intra-vs-inter cost: DC-pred intra SATD proxy, in the same metric
     # as the refine cost (parity: WelsMdIntraMb SATD, md.cpp)
     mb_mean = (src_soa.astype(jnp.int32).sum((0, 1)) + 128) >> 8
     intra_satd = satd16(src_soa - mb_mean[None, None, :])
 
+    # natural skips (residual quantized to zero at the skip vector)
+    # also seed the next frame's pMbSkipSad chain
+    natural = (~promote) & (best_mv == skip_q).all(1) & \
+        ~lev.astype(bool).any((0, 1, 2)) & \
+        ~dcu.astype(bool).any(1) & ~dcv.astype(bool).any(1) & \
+        ~acu.astype(bool).any((1, 2)) & ~acv.astype(bool).any((1, 2))
+    skip_flags = promote | natural
     return {
         "mv": best_mv,
         "inter_cost": best_cost,
+        "skip_mask": skip_flags,
+        "skip_sad": sad_skip,
         "intra_cost_proxy": intra_satd,
         "luma_ac": lev.transpose(3, 2, 0, 1).reshape(n_mb, 16, 16),
         "chroma_dc": jnp.stack([dcu, dcv], 1),

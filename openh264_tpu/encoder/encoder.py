@@ -77,6 +77,10 @@ class _RefEntry:
     coding_idx: int
     temporal_id: int
     planes: tuple  # (y, u, v) deblocked recon, padded to MB grid
+    # early-skip state (pMbSkipSad analog, WelsMdPSkipEnc): per-MB skip
+    # flags + skip-prediction SAD of this picture when it was coded
+    skip_map: object = None
+    skip_sad: object = None
 
 
 @dataclass
@@ -223,8 +227,11 @@ class H264Encoder:
         if cfg.deblock_idc != 1:
             deblock_frame(recon, fs)
         if is_ref:
-            self.dpb.append(_RefEntry(self.frame_num, self.coding_idx, tid,
-                                      (recon.y, recon.u, recon.v)))
+            self.dpb.append(_RefEntry(
+                self.frame_num, self.coding_idx, tid,
+                (recon.y, recon.u, recon.v),
+                skip_map=out.get("skip_mask"),
+                skip_sad=out.get("skip_sad")))
             if len(self.dpb) > cfg.num_ref_frames:
                 self.dpb.pop(0)   # sliding window: oldest out
             self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
@@ -660,12 +667,19 @@ class H264Encoder:
                             cfg.min_qp, cfg.max_qp).astype(np.int32)
             mb_qp_c = CHROMA_QP_TABLE[np.clip(
                 mb_qp + cfg.chroma_qp_offset, 0, 51)].astype(np.int32)
+        n_mb = cfg.mb_width * cfg.mb_height
+        prev_sad = (ref.skip_sad if ref.skip_sad is not None
+                    else np.zeros(n_mb, np.int32))
+        prev_skip = (ref.skip_map if ref.skip_map is not None
+                     else np.zeros(n_mb, bool))
         out = core_jax.encode_p_frame(
             yp, up, vp, ry, ru, rv,
             self.qp if mb_qp is None else mb_qp,
             self.qp_c if mb_qp is None else mb_qp_c,
             mb_w=cfg.mb_width, mb_h=cfg.mb_height,
-            sr=cfg.search_range)
+            sr=cfg.search_range,
+            prev_skip_sad=np.asarray(prev_sad, np.int32),
+            prev_skip=np.asarray(prev_skip, bool))
         out = {k: np.asarray(v) for k, v in out.items()}
         if mb_qp is not None:
             out["mb_qp"] = mb_qp
@@ -678,6 +692,7 @@ class H264Encoder:
             lam = max(self.qp - 12, 1)
             intra_mask = (out["intra_cost_proxy"].astype(np.int64) + 8 * lam
                           < out["inter_cost"].astype(np.int64))
+            intra_mask &= ~out["skip_mask"]   # promoted skips stay inter
             # same chain-free demotion as the device fast path (see
             # core_jax.chainfree_intra_mask) so both paths pick
             # identical modes and stay byte-identical

@@ -61,14 +61,17 @@ def _step_i(y, u, v, qp, qp_c, start_bit, mb_w, mb_h, do_deblock):
 
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr",
                                              "do_deblock", "intra_in_p"))
-def _step_p(y, u, v, ry, ru, rv, qp, qp_c, start_bit, mb_w, mb_h, sr,
-            do_deblock, intra_in_p):
+def _step_p(y, u, v, ry, ru, rv, prev_skip_sad, prev_skip,
+            qp, qp_c, start_bit, mb_w, mb_h, sr, do_deblock, intra_in_p):
     n_mb = mb_w * mb_h
     out = core_jax.encode_p_frame(y, u, v, ry, ru, rv, qp, qp_c,
-                                  mb_w=mb_w, mb_h=mb_h, sr=sr)
+                                  mb_w=mb_w, mb_h=mb_h, sr=sr,
+                                  prev_skip_sad=prev_skip_sad,
+                                  prev_skip=prev_skip)
     if intra_in_p:
         lam = jnp.maximum(qp - 12, 1).astype(jnp.int32)
         raw = (out["intra_cost_proxy"] + 8 * lam) < out["inter_cost"]
+        raw = raw & ~out["skip_mask"]     # promoted skips stay inter
         intra_mask = core_jax.chainfree_intra_mask(raw, mb_w, mb_h)
         # chain-free mask -> the masked intra pass is one batched shot
         # (a lax.cond into the wavefront I-core costs ~50 ms even when
@@ -113,7 +116,8 @@ def _step_p(y, u, v, ry, ru, rv, qp, qp_c, start_bit, mb_w, mb_h, sr,
         cqp_mb = jnp.full(n_mb, qp_c, jnp.int32)
         rec_y, rec_u, rec_v = deblock_jax.deblock_frame_device(
             rec_y, rec_u, rec_v, BSV, BSH, qp_mb, cqp_mb, mb_w, mb_h)
-    return packed, nbits, ovf, rec_y, rec_u, rec_v
+    return (packed, nbits, ovf, rec_y, rec_u, rec_v,
+            out["skip_sad"], out["skip_mask"])
 
 
 @functools.partial(jax.jit, static_argnames=("h", "w"))
@@ -180,19 +184,22 @@ class DeviceSessionEncoder:
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
         y, u, v = _split_frame(ybuf, cfg.mb_height * 16, cfg.mb_width * 16)
         do_deblock = cfg.deblock_idc != 1
+        n_mb = cfg.mb_width * cfg.mb_height
         if is_idr:
             packed, nbits, ovf, ry, ru, rv = _step_i(
                 y, u, v, jnp.int32(self.qp), jnp.int32(self.qp_c),
                 jnp.int32(hdr_len % 8), cfg.mb_width, cfg.mb_height,
                 do_deblock)
+            sk_sad = jnp.zeros(n_mb, jnp.int32)
+            sk_map = jnp.zeros(n_mb, bool)
         else:
-            ry, ru, rv = self._ref
-            packed, nbits, ovf, ry, ru, rv = _step_p(
-                y, u, v, ry, ru, rv, jnp.int32(self.qp),
+            ry, ru, rv, psad, pskip = self._ref
+            packed, nbits, ovf, ry, ru, rv, sk_sad, sk_map = _step_p(
+                y, u, v, ry, ru, rv, psad, pskip, jnp.int32(self.qp),
                 jnp.int32(self.qp_c), jnp.int32(hdr_len % 8),
                 cfg.mb_width, cfg.mb_height, cfg.search_range,
                 do_deblock, cfg.enable_intra_in_p)
-        self._ref = (ry, ru, rv)
+        self._ref = (ry, ru, rv, sk_sad, sk_map)
         self.frame_num = (self.frame_num + 1) % \
             (1 << self.cfg.log2_max_frame_num)
         return {"is_idr": is_idr, "hdr": hdr_bytes, "hdr_len": hdr_len,

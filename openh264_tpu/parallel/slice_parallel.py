@@ -86,7 +86,8 @@ def sliced_p_step(y, u, v, ref_y, ref_u, ref_v, qp, qp_c, *,
 
     out_specs = {k: P("slices") for k in
                  ("mv", "inter_cost", "intra_cost_proxy", "luma_ac",
-                  "chroma_dc", "chroma_ac", "recon_y", "recon_u", "recon_v")}
+                  "chroma_dc", "chroma_ac", "recon_y", "recon_u", "recon_v",
+                  "skip_mask", "skip_sad")}
     f = jax.shard_map(
         band, mesh=mesh, check_vma=False,
         in_specs=(_band_spec(),) * 6,
