@@ -174,6 +174,7 @@ class H264Decoder:
             self._recover_lost_ref(sps, sh0)
         ref_pics: dict[int, Picture] = {}
         fs.wp_by_slice = []
+        last_l0 = None      # last slice's L0 for EC MV-copy modes
         for si, (nal, sh, br) in enumerate(slices):
             l0 = l1 = []
             i0 = i1 = []
@@ -191,6 +192,7 @@ class H264Decoder:
                 for p in l0 + l1:
                     if p is not None:
                         ref_pics[p.pic_id] = p
+                last_l0 = l0
             from .wpred import build_slice_wp
             fs.wp_by_slice.append(build_slice_wp(sh, i0, i1))
             ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
@@ -217,7 +219,7 @@ class H264Decoder:
             from .ec import implement_error_con
             prev = getattr(self, "prev_decoded", None)
             implement_error_con(self.ec_mode, st, fs, fs.mb_correct, prev,
-                                sh0.is_idr, ref_list0=None, cur_poc=poc)
+                                sh0.is_idr, ref_list0=last_l0, cur_poc=poc)
         # store into DPB (full uncropped planes; refs must keep MB grid)
         pic = Picture(0, st.y, st.u, st.v, frame_num=sh0.frame_num, poc=poc,
                       is_ref=sh0.nal.nal_ref_idc != 0, is_idr=sh0.is_idr)

@@ -60,6 +60,13 @@ class EncoderConfig:
     # dyadic temporal scalability (1..4 layers, param_svc.h:498)
     temporal_layers: int = 1
     ltr_mark_period: int = 30
+    # parameter-set ids (simulcast layers use distinct ids; the
+    # reference's CONSTANT_ID strategy analog, paraset_strategy.cpp)
+    sps_id: int = 0
+    pps_id: int = 0
+    # keep the user's cfg.qp as the RC starting point instead of the
+    # bpp-derived RcInitialQp pick
+    rc_honor_init_qp: bool = False
 
     @property
     def mb_width(self):
@@ -146,7 +153,8 @@ class H264Encoder:
         self.rc = RateControl(cfg.rc_mode, cfg.target_bitrate,
                               cfg.max_frame_rate, self.qp,
                               cfg.min_qp, cfg.max_qp, cfg.enable_frame_skip,
-                              n_pixels=cfg.width * cfg.height)
+                              n_pixels=cfg.width * cfg.height,
+                              honor_init_qp=cfg.rc_honor_init_qp)
 
     def force_idr(self):
         self._force_idr = True

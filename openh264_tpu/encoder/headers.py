@@ -20,7 +20,7 @@ def write_sps(cfg) -> bytes:
     w.flag(False)                    # constraint_set3
     w.u(4, 0)                        # reserved_zero_4bits + ...
     w.u(8, cfg.level_idc)
-    w.ue(0)                          # sps_id
+    w.ue(getattr(cfg, 'sps_id', 0))  # sps_id
     w.ue(cfg.log2_max_frame_num - 4)
     w.ue(2)                          # pic_order_cnt_type = 2 (IPPP, no B yet)
     w.ue(cfg.num_ref_frames)
@@ -46,8 +46,8 @@ def write_sps(cfg) -> bytes:
 
 def write_pps(cfg) -> bytes:
     w = BitWriter()
-    w.ue(0)                          # pps_id
-    w.ue(0)                          # sps_id
+    w.ue(getattr(cfg, 'pps_id', 0))  # pps_id
+    w.ue(getattr(cfg, 'sps_id', 0))  # sps_id
     w.flag(cfg.entropy_cabac)        # entropy_coding_mode
     w.flag(False)                    # pic_order_present
     w.ue(0)                          # num_slice_groups - 1
@@ -80,7 +80,7 @@ def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
     """
     w.ue(first_mb)
     w.ue(slice_type + 5)             # e.g. 7 = I (all slices), 5 = P
-    w.ue(0)                          # pps_id
+    w.ue(getattr(cfg, 'pps_id', 0))  # pps_id
     w.u(cfg.log2_max_frame_num, frame_num)
     if idr:
         w.ue(idr_pic_id)

@@ -10,6 +10,12 @@ the control law is the same family: a log-domain R-QP model updated
 from measured bits, clamped to ±3 QP steps per frame
 (reference's delta-QP bounds), with IDR frames budgeted
 iIdrBitrateRatio/100 times a P frame.
+
+Deliberate tuning deltas vs the reference (kept explicit, not parity):
+IDR ratio 3.0 (ref 4.0) and asymmetric up/down QP step bounds — both
+tighten the measured bitrate window for short GOPs; a caller-supplied
+initial QP can be preserved with honor_init_qp=True (cfg
+rc_honor_init_qp) instead of the bpp-based RcInitialQp pick.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ class RateControl:
     def __init__(self, mode: int, target_bitrate: float, fps: float,
                  init_qp: int, min_qp: int = 0, max_qp: int = 51,
                  enable_skip: bool = True, idr_ratio: float = _IDR_RATIO,
-                 n_pixels: int = 0):
+                 n_pixels: int = 0, honor_init_qp: bool = False):
         self.mode = mode
         self.fps = max(1.0, fps)
         self.bits_per_frame = max(1.0, target_bitrate / self.fps)
@@ -53,7 +59,8 @@ class RateControl:
                                                     RC_BUFFERBASED_MODE,
                                                     RC_TIMESTAMP_MODE)
         self.idr_ratio = idr_ratio
-        if mode not in (RC_OFF_MODE,) and n_pixels > 0 and target_bitrate > 0:
+        if mode not in (RC_OFF_MODE,) and n_pixels > 0 and target_bitrate > 0 \
+                and not honor_init_qp:
             # initial QP from bits-per-pixel (RcInitialQp analog,
             # ratectl.cpp: dBpp thresholds -> start QP)
             bpp = self.bits_per_frame / n_pixels

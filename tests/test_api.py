@@ -174,3 +174,28 @@ def test_cli_roundtrip(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr
     assert outyuv.stat().st_size == 3 * (W * H * 3 // 2)
+
+
+def test_simulcast_layers_decode():
+    """Spatial simulcast (BASELINE config #5): per-layer streams with
+    distinct parameter-set ids, each independently decodable."""
+    import numpy as np
+    from openh264_tpu.encoder.encoder import EncoderConfig
+    from openh264_tpu.parallel.simulcast import SimulcastEncoder
+    from openh264_tpu.decoder import H264Decoder
+    rng = np.random.RandomState(3)
+    W, H = 96, 64
+    enc = SimulcastEncoder(EncoderConfig(width=W, height=H, qp=32),
+                           n_layers=2)
+    y = rng.randint(0, 255, (H, W), np.uint8)
+    u = rng.randint(0, 255, (H // 2, W // 2), np.uint8)
+    v = u.copy()
+    outs = []
+    for _ in range(2):
+        _, layers = enc.encode_frame(y, u, v)
+        outs.append(layers)
+        y = (y.astype(int) + rng.randint(-6, 6, (H, W))).clip(0, 255).astype(np.uint8)
+    for k, (w, h) in enumerate(((W, H), (W // 2, H // 2))):
+        frames = H264Decoder().decode_annexb(b"".join(o[k] for o in outs))
+        assert len(frames) == 2
+        assert frames[0].y.shape == (h, w)
