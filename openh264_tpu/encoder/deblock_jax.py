@@ -177,8 +177,10 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
         return jnp.concatenate(rows, 0)
 
     S = shear(y, 16, OFF, WS)
-    SU = shear(u, 8, OFFC, WSC)
-    SV = shear(v, 8, OFFC, WSC)
+    # U and V stack along rows into ONE sheared array so every chroma
+    # edge filter runs once over 2*J lanes instead of twice over J
+    SUV = jnp.concatenate([shear(u, 8, OFFC, WSC),
+                           shear(v, 8, OFFC, WSC)], 0)
 
     # per-lane (band) static aids
     jj = jnp.arange(mb_h, dtype=jnp.int32)                   # band index
@@ -199,7 +201,7 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                 tc0_t[ia[:, None], jnp.clip(bs - 1, 0, 2)])
 
     def body(d, st):
-        S, SU, SV = st
+        S, SUV = st
         x = d - 2 * jj                                       # [J] MB x
         valid = (x >= 0) & (x < mb_w)
         xc = jnp.clip(x, 0, mb_w - 1)
@@ -213,18 +215,13 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
             [jnp.zeros((1, 4, 20), jnp.int32), Cb[:-1, 12:16, 0:20]], 0)
         R = jnp.concatenate([halo, own], 1)                  # [J,20,20]
 
-        CU = jax.lax.dynamic_slice(SU, (0, 8 * d), (Hc, 28))
-        CUb = CU.reshape(mb_h, 8, 28)
-        RU = jnp.concatenate(
-            [jnp.concatenate([jnp.zeros((1, 2, 10), jnp.int32),
-                              CUb[:-1, 6:8, 0:10]], 0),
-             CUb[:, :, 16:26]], 1)                           # [J,10,10]
-        CV = jax.lax.dynamic_slice(SV, (0, 8 * d), (Hc, 28))
-        CVb = CV.reshape(mb_h, 8, 28)
-        RV = jnp.concatenate(
-            [jnp.concatenate([jnp.zeros((1, 2, 10), jnp.int32),
-                              CVb[:-1, 6:8, 0:10]], 0),
-             CVb[:, :, 16:26]], 1)
+        CUV = jax.lax.dynamic_slice(SUV, (0, 8 * d), (2 * Hc, 28))
+        CUVb = CUV.reshape(2, mb_h, 8, 28)
+        halo_c = jnp.concatenate(
+            [jnp.zeros((2, 1, 2, 10), jnp.int32),
+             CUVb[:, :-1, 6:8, 0:10]], 1)
+        RUV = jnp.concatenate([halo_c, CUVb[:, :, :, 16:26]],
+                              2).reshape(2 * mb_h, 10, 10)   # [2J,10,10]
 
         qc = jnp.take_along_axis(qp_gp, xc[:, None] + 1, 1)[:, 0]
         ql = jnp.take_along_axis(qp_gp, xc[:, None], 1)[:, 0]
@@ -250,12 +247,11 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                 bs8 = bs8 * ok[:, None]
                 cnb = cql if e == 0 else cqc
                 ca, cb, ct = ab_tc(cqc, cnb, bs8)
-                subc = RU[:, 2:10, 4 * ce:4 * ce + 4]
-                RU = RU.at[:, 2:10, 4 * ce + 1:4 * ce + 3].set(
-                    _chroma_edge(subc, bs8, ca, cb, ct))
-                subc = RV[:, 2:10, 4 * ce:4 * ce + 4]
-                RV = RV.at[:, 2:10, 4 * ce + 1:4 * ce + 3].set(
-                    _chroma_edge(subc, bs8, ca, cb, ct))
+                bs8s = jnp.tile(bs8, (2, 1))
+                subc = RUV[:, 2:10, 4 * ce:4 * ce + 4]
+                RUV = RUV.at[:, 2:10, 4 * ce + 1:4 * ce + 3].set(
+                    _chroma_edge(subc, bs8s, jnp.tile(ca, (2, 1)),
+                                 jnp.tile(cb, (2, 1)), jnp.tile(ct, (2, 1))))
 
         for e in range(4):
             bsh4 = BSHb[jj[:, None], e,
@@ -275,27 +271,24 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                 bs8 = bs8 * ok[:, None]
                 cnb = cqt if e == 0 else cqc
                 ca, cb, ct = ab_tc(cqc, cnb, bs8)
-                subc = RU[:, 4 * ce:4 * ce + 4, 2:10].transpose(0, 2, 1)
-                RU = RU.at[:, 4 * ce + 1:4 * ce + 3, 2:10].set(
-                    _chroma_edge(subc, bs8, ca, cb, ct).transpose(0, 2, 1))
-                subc = RV[:, 4 * ce:4 * ce + 4, 2:10].transpose(0, 2, 1)
-                RV = RV.at[:, 4 * ce + 1:4 * ce + 3, 2:10].set(
-                    _chroma_edge(subc, bs8, ca, cb, ct).transpose(0, 2, 1))
+                bs8s = jnp.tile(bs8, (2, 1))
+                subc = RUV[:, 4 * ce:4 * ce + 4, 2:10].transpose(0, 2, 1)
+                RUV = RUV.at[:, 4 * ce + 1:4 * ce + 3, 2:10].set(
+                    _chroma_edge(subc, bs8s, jnp.tile(ca, (2, 1)),
+                                 jnp.tile(cb, (2, 1)),
+                                 jnp.tile(ct, (2, 1))).transpose(0, 2, 1))
 
         Cb2 = Cb.at[:, :, 32:52].set(R[:, 4:20, :])
         Cb2 = Cb2.at[:-1, 12:16, 0:20].set(R[1:, 0:4, :])
         S = jax.lax.dynamic_update_slice(S, Cb2.reshape(H, 56), (0, 16 * d))
-        CUb2 = CUb.at[:, :, 16:26].set(RU[:, 2:10, :])
-        CUb2 = CUb2.at[:-1, 6:8, 0:10].set(RU[1:, 0:2, :])
-        SU = jax.lax.dynamic_update_slice(SU, CUb2.reshape(Hc, 28),
-                                          (0, 8 * d))
-        CVb2 = CVb.at[:, :, 16:26].set(RV[:, 2:10, :])
-        CVb2 = CVb2.at[:-1, 6:8, 0:10].set(RV[1:, 0:2, :])
-        SV = jax.lax.dynamic_update_slice(SV, CVb2.reshape(Hc, 28),
-                                          (0, 8 * d))
-        return S, SU, SV
+        RUVb = RUV.reshape(2, mb_h, 10, 10)
+        CUVb2 = CUVb.at[:, :, :, 16:26].set(RUVb[:, :, 2:10, :])
+        CUVb2 = CUVb2.at[:, :-1, 6:8, 0:10].set(RUVb[:, 1:, 0:2, :])
+        SUV = jax.lax.dynamic_update_slice(
+            SUV, CUVb2.reshape(2 * Hc, 28), (0, 8 * d))
+        return S, SUV
 
-    S, SU, SV = jax.lax.fori_loop(0, nd, body, (S, SU, SV))
+    S, SUV = jax.lax.fori_loop(0, nd, body, (S, SUV))
     return (unshear(S, 16, OFF, W).astype(jnp.uint8),
-            unshear(SU, 8, OFFC, Wc).astype(jnp.uint8),
-            unshear(SV, 8, OFFC, Wc).astype(jnp.uint8))
+            unshear(SUV[:Hc], 8, OFFC, Wc).astype(jnp.uint8),
+            unshear(SUV[Hc:], 8, OFFC, Wc).astype(jnp.uint8))
