@@ -72,3 +72,25 @@ def test_decoder_robustness():
     rng = np.random.default_rng(1)
     garbage = bytes(rng.integers(0, 256, 4096, dtype=np.uint8))
     assert H264Decoder().decode_annexb(garbage) == []
+
+
+def test_device_recon_path_bit_exact():
+    """The batched JAX reconstruction path (use_jax_recon=True,
+    ops/recon_jax.py) must match the goldens like the host path —
+    keeps SURVEY §7 step 2 (device-side batched recon) a tested
+    product path, not dead code."""
+    import os
+    import subprocess
+    from openh264_tpu.decoder import H264Decoder
+    from openh264_tpu.decoder.decoder import write_yuv
+    for st in ("SVA_Base_B.264", "BA1_FT_C.264"):
+        gold = os.path.join(GOLD, st + ".yuv")
+        if not os.path.exists(gold):
+            os.makedirs(GOLD, exist_ok=True)
+            subprocess.run([DECBIN, os.path.join(RES, st), gold],
+                           capture_output=True, timeout=300)
+        frames = H264Decoder(use_jax_recon=True).decode_annexb(
+            open(os.path.join(RES, st), "rb").read())
+        out = os.path.join("/tmp", "jaxrecon_" + st + ".yuv")
+        write_yuv(frames, out)
+        assert open(out, "rb").read() == open(gold, "rb").read(), st
