@@ -122,6 +122,9 @@ class CWelsH264SVCEncoder:
 
     # ------------------------------------------------------------------
     def SetOption(self, eOptionId: int, value) -> int:
+        """Implemented options take effect immediately; unsupported ids
+        return cmInitParaError instead of silently succeeding
+        (honest surface vs welsEncoderExt.cpp:688 SetOption dispatch)."""
         e = self._enc
         if eOptionId == ENCODER_OPTION.SVC_ENCODE_PARAM_EXT:
             return self.InitializeExt(value)
@@ -144,19 +147,59 @@ class CWelsH264SVCEncoder:
             e.reconfigure_rc()
         elif eOptionId == ENCODER_OPTION.RC_FRAME_SKIP:
             e.cfg.enable_frame_skip = bool(value)
+        elif eOptionId == ENCODER_OPTION.NUMBER_REF:
+            # takes effect on the sliding window from the next frame on
+            e.cfg.num_ref_frames = max(1, min(16, int(value)))
+        elif eOptionId == ENCODER_OPTION.LTR:
+            # SLTRConfig{bEnableLongTermReference, iLTRRefNum}
+            # (codec_app_def.h:556); plain ints enable with 1 LTR slot
+            if hasattr(value, "bEnableLongTermReference"):
+                e.cfg.enable_ltr = bool(value.bEnableLongTermReference)
+                e.cfg.ltr_ref_num = max(1, int(value.iLTRRefNum))
+            else:
+                e.cfg.enable_ltr = bool(value)
+            e.setup_ltr()
         elif eOptionId == ENCODER_OPTION.LTR_MARKING_PERIOD:
             e.cfg.ltr_mark_period = int(value)
+        elif eOptionId == ENCODER_OPTION.LTR_RECOVERY_REQUEST:
+            # SLTRRecoverRequest (codec_app_def.h:239): decoder lost the
+            # current ref chain; re-anchor prediction on the newest
+            # receiver-acknowledged LTR frame
+            e.ltr_recovery_request(value)
+        elif eOptionId == ENCODER_OPTION.LTR_MARKING_FEEDBACK:
+            # SLTRMarkingFeedback (codec_app_def.h:250)
+            e.ltr_marking_feedback(value)
+        elif eOptionId == ENCODER_OPTION.TRACE_LEVEL:
+            from ..utils.trace import set_trace_level
+            set_trace_level(int(value))
+        elif eOptionId == ENCODER_OPTION.TRACE_CALLBACK:
+            from ..utils.trace import set_trace_callback
+            set_trace_callback(value)
+        elif eOptionId == ENCODER_OPTION.DATAFORMAT:
+            if int(value) != 23:      # videoFormatI420
+                return cmInitParaError
+        elif eOptionId == ENCODER_OPTION.COMPLEXITY:
+            # LOW/MEDIUM/HIGH -> ME search range ladder (the reference
+            # maps complexity to ME/MD effort, welsEncoderExt.cpp:688)
+            e.cfg.search_range = {0: 4, 1: 8, 2: 16}.get(int(value), 8)
         else:
-            return cmResultSuccess  # accepted, recorded on param only
+            # MAX_BITRATE, PADDING, SSEI, prefix NAL, paramset
+            # strategies, dump files, lossless-link...: not implemented
+            return cmInitParaError
         return cmResultSuccess
 
     def GetOption(self, eOptionId: int):
+        e = self._enc
         if eOptionId == ENCODER_OPTION.GET_STATISTICS:
             return self._stats
         if eOptionId == ENCODER_OPTION.SVC_ENCODE_PARAM_EXT:
             return self.param
         if eOptionId == ENCODER_OPTION.IDR_INTERVAL:
-            return self._enc.cfg.idr_interval if self._enc else 0
+            return e.cfg.idr_interval if e else 0
+        if eOptionId == ENCODER_OPTION.NUMBER_REF:
+            return e.cfg.num_ref_frames if e else 0
+        if eOptionId == ENCODER_OPTION.COMPLEXITY and e:
+            return {4: 0, 8: 1, 16: 2}.get(e.cfg.search_range, 1)
         return None
 
 

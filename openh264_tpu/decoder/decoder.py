@@ -61,6 +61,10 @@ class H264Decoder:
         self.dpb: DPB | None = None
         self.poc_ctx: PocContext | None = None
         self.active_sps = None
+        # incremental-mode state (feed_annexb/flush)
+        self._in_buf = b""
+        self._pending: list[tuple] = []
+        self._reorder_q: list[DecodedFrame] = []
 
     @staticmethod
     def _is_au_boundary(prev_sh, sh) -> bool:
@@ -92,50 +96,57 @@ class H264Decoder:
             return True
         return False
 
+    def _handle_nal(self, nal) -> DecodedFrame | None:
+        """Process one NAL unit; returns the decoded picture when this
+        NAL begins a new access unit (completing the pending one)."""
+        from .ec import ERROR_CON_DISABLE
+        if nal.nal_unit_type == NAL_SPS:
+            sps = parse_sps(nal.rbsp)
+            self.sps_map[sps.sps_id] = sps
+        elif nal.nal_unit_type == NAL_SUBSET_SPS:
+            sps = parse_sps(nal.rbsp, is_subset=True)
+            self.subset_sps_map[sps.sps_id] = sps
+        elif nal.nal_unit_type == NAL_PPS:
+            pps = parse_pps(nal.rbsp, self.sps_map)
+            self.pps_map[pps.pps_id] = pps
+        elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR, NAL_SLICE_EXT):
+            br = BitReader(nal.rbsp)
+            try:
+                sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
+                                        self.subset_sps_map)
+            except ValueError as e:
+                if nal.nal_unit_type == NAL_SLICE_EXT:
+                    # unsupported SVC enhancement slice: skip it and keep
+                    # decoding the AVC base layer (parity: the reference
+                    # decodes the base layer of multi-layer streams)
+                    return None
+                if self.ec_mode != ERROR_CON_DISABLE:
+                    from ..utils import wels_log, WELS_LOG_WARNING
+                    wels_log(WELS_LOG_WARNING,
+                             f"dropping slice NAL with bad header: {e}")
+                    return None
+                raise
+            done = None
+            prev_sh = self._pending[-1][1] if self._pending else None
+            if self._pending and self._is_au_boundary(prev_sh, sh):
+                done = self._decode_picture(self._pending)
+                self._pending = []
+            self._pending.append((nal, sh, br))
+            return done
+        # SEI, AUD, filler etc. skipped
+        return None
+
     def decode_annexb(self, data: bytes) -> list[DecodedFrame]:
         """Decode a whole Annex-B stream (batch mode)."""
-        from .ec import ERROR_CON_DISABLE
-        nals = split_annexb(data)
         frames: list[DecodedFrame] = []
-        pending: list[tuple] = []  # (nal, SliceHeader, BitReader)
-        for nal in nals:
-            if nal.nal_unit_type == NAL_SPS:
-                sps = parse_sps(nal.rbsp)
-                self.sps_map[sps.sps_id] = sps
-            elif nal.nal_unit_type == NAL_SUBSET_SPS:
-                sps = parse_sps(nal.rbsp, is_subset=True)
-                self.subset_sps_map[sps.sps_id] = sps
-            elif nal.nal_unit_type == NAL_PPS:
-                pps = parse_pps(nal.rbsp, self.sps_map)
-                self.pps_map[pps.pps_id] = pps
-            elif nal.nal_unit_type in (NAL_SLICE, NAL_IDR, NAL_SLICE_EXT):
-                br = BitReader(nal.rbsp)
-                try:
-                    sh = parse_slice_header(br, nal, self.sps_map, self.pps_map,
-                                            self.subset_sps_map)
-                except ValueError as e:
-                    if nal.nal_unit_type == NAL_SLICE_EXT:
-                        # unsupported SVC enhancement slice: skip it and keep
-                        # decoding the AVC base layer (parity: the reference
-                        # decodes the base layer of multi-layer streams)
-                        continue
-                    if self.ec_mode != ERROR_CON_DISABLE:
-                        from ..utils import wels_log, WELS_LOG_WARNING
-                        wels_log(WELS_LOG_WARNING,
-                                 f"dropping slice NAL with bad header: {e}")
-                        continue
-                    raise
-                prev_sh = pending[-1][1] if pending else None
-                if pending and self._is_au_boundary(prev_sh, sh):
-                    frames.append(self._decode_picture(pending))
-                    pending = []
-                pending.append((nal, sh, br))
-            # SEI, AUD, filler etc. skipped
-        if pending:
+        for nal in split_annexb(data):
+            frames.append(self._handle_nal(nal))
+        if self._pending:
             # trailing AU: the reference decodes it at EOS flush; if it
             # is incomplete there is no later boundary to trigger EC, so
             # it is decoded but never output either way
-            frames.append(self._decode_picture(pending))
+            frames.append(self._decode_picture(self._pending))
+            self._pending = []
         frames = [f for f in frames if f is not None]
         # Output (display) order mirrors the reference's reorder policy
         # (welsDecoderExt.cpp:992-1137 Buffering/ReleaseBufferedReadyPicture):
@@ -145,6 +156,59 @@ class H264Decoder:
         if getattr(self, "_has_b_slices", False):
             frames.sort(key=lambda f: (f.cvs, f.poc))
         return frames
+
+    # ------------------------------------------------------------------
+    # Incremental input (fragmented-NAL feeding, welsDecoderExt.cpp
+    # DecodeFrame2's per-call buffering): callers may deliver partial
+    # NALs; complete NALs decode as soon as the NEXT start code proves
+    # them complete, and access units spanning calls stay pending.
+    def feed_annexb(self, data: bytes) -> list[DecodedFrame]:
+        from .nalbuf import split_complete
+        self._in_buf += bytes(data)
+        complete, self._in_buf = split_complete(self._in_buf)
+        out = []
+        if complete:
+            for nal in split_annexb(complete):
+                f = self._handle_nal(nal)
+                if f is not None:
+                    self._reorder_q.append(f)
+            out = self._release(eos=False)
+        return out
+
+    def flush(self) -> list[DecodedFrame]:
+        """End of stream: decode everything still buffered and release
+        the reorder queue (ISVCDecoder FlushFrame semantics)."""
+        for nal in split_annexb(self._in_buf):
+            f = self._handle_nal(nal)
+            if f is not None:
+                self._reorder_q.append(f)
+        self._in_buf = b""
+        if self._pending:
+            f = self._decode_picture(self._pending)
+            self._pending = []
+            if f is not None:
+                self._reorder_q.append(f)
+        return self._release(eos=True)
+
+    def _release(self, eos: bool) -> list[DecodedFrame]:
+        """Bounded-latency reorder release (the reference's
+        ReleaseBufferedReadyPictureReorder holds at most the DPB depth
+        before emitting the smallest-POC buffered picture)."""
+        q = self._reorder_q
+        if not getattr(self, "_has_b_slices", False):
+            self._reorder_q = []
+            return q
+        q.sort(key=lambda f: (f.cvs, f.poc))
+        if eos:
+            self._reorder_q = []
+            return q
+        depth = 1 + (self.active_sps.max_num_ref_frames
+                     if self.active_sps is not None else 1)
+        max_cvs = max((f.cvs for f in q), default=0)
+        out = []
+        while q and (len(q) > depth or q[0].cvs < max_cvs):
+            out.append(q.pop(0))
+        return out
 
     def _activate_sps(self, sps) -> None:
         # a re-transmitted identical SPS is NOT a new coded video

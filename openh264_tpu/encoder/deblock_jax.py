@@ -129,6 +129,30 @@ def _chroma_edge(sub, bs, alpha, beta, tc0):
     return jnp.stack([np0, nq0], -1)
 
 
+def _use_pallas() -> bool:
+    import os
+    if os.environ.get("OPENH264_TPU_NO_PALLAS"):
+        return False
+    try:
+        import jax as _jax
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def deblock_frame_auto(y, u, v, BSV, BSH, qp_mb, cqp_mb,
+                       mb_w: int, mb_h: int):
+    """Product-path dispatch: the VMEM-resident Pallas wavefront on TPU
+    (deblock_pallas.py), the XLA sheared fori_loop elsewhere. Both are
+    bit-exact twins."""
+    if _use_pallas():
+        from .deblock_pallas import deblock_frame_pallas
+        return deblock_frame_pallas(y, u, v, BSV, BSH, qp_mb, cqp_mb,
+                                    mb_w, mb_h)
+    return deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
+                                mb_w, mb_h)
+
+
 def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                          mb_w: int, mb_h: int):
     """Filter one frame in place (functionally); returns (y, u, v).

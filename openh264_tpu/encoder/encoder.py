@@ -59,6 +59,10 @@ class EncoderConfig:
     deblock_idc: int = 0
     # dyadic temporal scalability (1..4 layers, param_svc.h:498)
     temporal_layers: int = 1
+    # long-term reference (SLTRConfig, codec_app_def.h:556): periodic
+    # MMCO marking + loss recovery re-anchoring (ref_list_mgr_svc.cpp)
+    enable_ltr: bool = False
+    ltr_ref_num: int = 1
     ltr_mark_period: int = 30
     # parameter-set ids (simulcast layers use distinct ids; the
     # reference's CONSTANT_ID strategy analog, paraset_strategy.cpp)
@@ -88,6 +92,9 @@ class _RefEntry:
     # flags + skip-prediction SAD of this picture when it was coded
     skip_map: object = None
     skip_sad: object = None
+    # long-term reference state (WelsMarkPic, ref_list_mgr_svc.h:75)
+    is_ltr: bool = False
+    ltr_idx: int = -1
 
 
 @dataclass
@@ -146,7 +153,84 @@ class H264Encoder:
         self.qp = cfg.qp
         self.qp_c = int(CHROMA_QP_TABLE[np.clip(self.qp + cfg.chroma_qp_offset, 0, 51)])
         self._force_idr = False
+        # LTR state (ref_list_mgr_svc.cpp marking/recovery protocol)
+        self._ltr_capacity_added = 0
+        self._ltr_next_idx = 0
+        self._ltr_acked: set[int] = set()   # acked (idx) via feedback
+        self._ltr_pending: dict[int, int] = {}  # ltr_idx -> frame_num
+        self._need_ltr_recovery = False
+        self.setup_ltr()
         self.reconfigure_rc()
+
+    # ------------------------------------------------------------------
+    # Long-term reference protocol (codec_app_def.h:239-263,
+    # ref_list_mgr_svc.cpp WelsMarkPic / recovery strategies)
+    def setup_ltr(self):
+        """Reserve DPB capacity for the LTR slots (the SPS
+        max_num_ref_frames covers short-term + long-term)."""
+        cfg = self.cfg
+        if cfg.enable_ltr:
+            want = max(1, cfg.ltr_ref_num)
+            cfg.num_ref_frames += want - self._ltr_capacity_added
+            self._ltr_capacity_added = want
+            if self.frame_count > 0:
+                # mid-stream enable changes the SPS DPB size: start a
+                # fresh coded video sequence so the decoder re-sizes
+                self._force_idr = True
+
+    @property
+    def _st_capacity(self) -> int:
+        """Sliding-window budget for short-term refs."""
+        return max(1, self.cfg.num_ref_frames - self._ltr_capacity_added)
+
+    def ltr_recovery_request(self, req=None) -> None:
+        """SLTRRecoverRequest: the receiver lost the prediction chain;
+        the next P frame re-anchors on an LTR (acked if any feedback
+        arrived, else the newest marked LTR). If no LTR exists, the
+        next frame is forced IDR — same last resort as the reference."""
+        if not self.cfg.enable_ltr or not any(e.is_ltr for e in self.dpb):
+            self._force_idr = True
+            return
+        self._need_ltr_recovery = True
+
+    def ltr_marking_feedback(self, fb) -> None:
+        """SLTRMarkingFeedback: receiver confirms (or denies) that the
+        frame we marked arrived. fb may be the struct (uiFeedbackType,
+        iLTRFrameNum) or a plain frame_num int."""
+        ok = True
+        frame_num = fb
+        if hasattr(fb, "uiFeedbackType"):
+            ok = int(fb.uiFeedbackType) != 2   # 2 = LTR_MARKING_FAILED
+            frame_num = int(fb.iLTRFrameNum)
+        elif isinstance(fb, dict):
+            ok = int(fb.get("uiFeedbackType", 1)) != 2
+            frame_num = int(fb.get("iLTRFrameNum", -1))
+        for idx, fn in list(self._ltr_pending.items()):
+            if fn == int(frame_num):
+                del self._ltr_pending[idx]
+                if ok:
+                    self._ltr_acked.add(idx)
+                else:
+                    self._ltr_acked.discard(idx)
+
+    def _ltr_mark_ops(self, tid: int, is_ref: bool):
+        """MMCO ops marking the CURRENT frame as the next LTR slot
+        (op 4 caps max_long_term_frame_idx, op 6 marks current)."""
+        cfg = self.cfg
+        if not (cfg.enable_ltr and is_ref and tid == 0
+                and cfg.ltr_mark_period > 0
+                and self.coding_idx > 0
+                and self.coding_idx % cfg.ltr_mark_period == 0):
+            return None, -1
+        idx = self._ltr_next_idx
+        self._ltr_next_idx = (idx + 1) % max(1, cfg.ltr_ref_num)
+        return [(4, max(1, cfg.ltr_ref_num)), (6, idx)], idx
+
+    def _pick_ltr_recovery_ref(self) -> _RefEntry:
+        ltrs = [e for e in self.dpb if e.is_ltr]
+        acked = [e for e in ltrs if e.ltr_idx in self._ltr_acked]
+        pool = acked or ltrs
+        return max(pool, key=lambda e: e.coding_idx)
 
     def reconfigure_rc(self):
         cfg = self.cfg
@@ -214,18 +298,33 @@ class H264Encoder:
         if cfg.num_slices > 1:
             return self._encode_frame_multislice(yp, up, vp, is_idr, tid,
                                                  is_ref)
+        is_ltr, ltr_idx = False, -1
         if is_idr:
             self.frame_num = 0
             self.coding_idx = 0
             self.dpb.clear()
+            self._ltr_pending.clear()
+            self._ltr_acked.clear()
+            self._need_ltr_recovery = False
             out, rbsp = self._encode_i(yp, up, vp)
             nal = make_annexb_nal(3, NAL_IDR, rbsp)
             prefix = self.headers_annexb()
             self.idr_pic_id = (self.idr_pic_id + 1) % 16
             fs = self._frame_symbols_i(out)
+            if cfg.enable_ltr:
+                # long_term_reference_flag marks the IDR as LTR idx 0
+                is_ltr, ltr_idx = True, 0
+                self._ltr_next_idx = 1 % max(1, cfg.ltr_ref_num)
         else:
-            ref = self._pick_ref(tid)
-            out, rbsp = self._encode_p(yp, up, vp, ref, is_ref)
+            mmco_ops, ltr_idx = self._ltr_mark_ops(tid, is_ref)
+            is_ltr = mmco_ops is not None
+            if self._need_ltr_recovery:
+                ref = self._pick_ltr_recovery_ref()
+                self._need_ltr_recovery = False
+            else:
+                ref = self._pick_ref(tid)
+            out, rbsp = self._encode_p(yp, up, vp, ref, is_ref,
+                                       mmco_ops=mmco_ops)
             nal = make_annexb_nal(2 if is_ref else 0, NAL_SLICE, rbsp)
             prefix = b""
             fs = self._frame_symbols_p(out)
@@ -235,13 +334,19 @@ class H264Encoder:
         if cfg.deblock_idc != 1:
             deblock_frame(recon, fs)
         if is_ref:
+            if is_ltr:
+                # marking replaces any existing LTR with the same index
+                # (MMCO 6 semantics)
+                self.dpb = [e for e in self.dpb
+                            if not (e.is_ltr and e.ltr_idx == ltr_idx)]
+                self._ltr_pending[ltr_idx] = self.frame_num
             self.dpb.append(_RefEntry(
                 self.frame_num, self.coding_idx, tid,
                 (recon.y, recon.u, recon.v),
                 skip_map=out.get("skip_mask"),
-                skip_sad=out.get("skip_sad")))
-            if len(self.dpb) > cfg.num_ref_frames:
-                self.dpb.pop(0)   # sliding window: oldest out
+                skip_sad=out.get("skip_sad"),
+                is_ltr=is_ltr, ltr_idx=ltr_idx))
+            self._slide_window()
             self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
         self.coding_idx += 1
         bs = prefix + nal
@@ -286,7 +391,7 @@ class H264Encoder:
         else:
             prefix = b""
             ref = self._pick_ref(tid)
-            reorder = self._reorder_cmd(ref)
+            reorder, _reorder_lt = self._reorder_for(ref)
             ry, ru, rv = ref.planes
         for (r0, r1) in bands:
             bh = r1 - r0
@@ -328,10 +433,13 @@ class H264Encoder:
         if cfg.deblock_idc != 1:
             deblock_frame(recon, fs)
         if is_ref:
+            # multi-slice frames are never MMCO-marked, but an IDR with
+            # LTR enabled is implicitly LTR idx 0 (long_term_ref_flag)
             self.dpb.append(_RefEntry(self.frame_num, self.coding_idx, tid,
-                                      (recon.y, recon.u, recon.v)))
-            if len(self.dpb) > cfg.num_ref_frames:
-                self.dpb.pop(0)
+                                      (recon.y, recon.u, recon.v),
+                                      is_ltr=is_idr and cfg.enable_ltr,
+                                      ltr_idx=0 if cfg.enable_ltr else -1))
+            self._slide_window()
             self.frame_num = (self.frame_num + 1) % (1 << cfg.log2_max_frame_num)
         self.coding_idx += 1
         bs = prefix + b"".join(nals)
@@ -402,7 +510,8 @@ class H264Encoder:
         w = BitWriter()
         write_slice_header(w, cfg, 2, self.frame_num, first_mb, self.qp,
                            True, self.idr_pic_id,
-                           disable_deblock=cfg.deblock_idc)
+                           disable_deblock=cfg.deblock_idc,
+                           long_term_ref_flag=cfg.enable_ltr)
         if cfg.entropy_cabac:
             self._write_i_slice_cabac(w, out, mb_h)
             return w.get_bytes()
@@ -631,21 +740,41 @@ class H264Encoder:
             nc.nzc_c[:, cy:cy + 2, cx:cx + 2] = 0
 
     # ------------------------------------------------------------------
+    def _slide_window(self):
+        """Sliding window over SHORT-TERM refs only; LTR entries live
+        until replaced by a same-index marking (§8.2.5.3 +
+        ref_list_mgr_svc.cpp WelsUpdateRefList)."""
+        st = [e for e in self.dpb if not e.is_ltr]
+        while len(st) > self._st_capacity:
+            victim = st.pop(0)
+            self.dpb.remove(victim)
+
     def _reorder_cmd(self, ref: _RefEntry) -> int | None:
         """abs_diff_pic_num_minus1 when `ref` isn't already first in the
-        default P list (§8.2.4.2.1 descending-PicNum order)."""
+        default P list (§8.2.4.2.1 descending-PicNum order). LTR refs
+        are handled by _reorder_for (idc-2 modification)."""
         mx = 1 << self.cfg.log2_max_frame_num
         cur = self.frame_num
 
         def picnum(fn):
             return fn if fn <= cur else fn - mx
-        default = sorted((e.frame_num for e in self.dpb),
+        default = sorted((e.frame_num for e in self.dpb if not e.is_ltr),
                          key=picnum, reverse=True)
         if default and default[0] == ref.frame_num:
             return None
         return (cur - ref.frame_num + mx) % mx - 1
 
-    def _encode_p(self, yp, up, vp, ref: _RefEntry, is_ref: bool):
+    def _reorder_for(self, ref: _RefEntry):
+        """(reorder_abs_diff, reorder_long_term) pinning `ref` first in
+        L0. An LTR target always gets an explicit idc-2 command; a
+        short-term target only needs one when it isn't already the
+        default head."""
+        if ref.is_ltr:
+            return None, ref.ltr_idx
+        return self._reorder_cmd(ref), None
+
+    def _encode_p(self, yp, up, vp, ref: _RefEntry, is_ref: bool,
+                  mmco_ops=None):
         cfg = self.cfg
         from . import core_jax
         ry, ru, rv = ref.planes
@@ -726,19 +855,23 @@ class H264Encoder:
             out["chroma_dc"][m] = iout["chroma_dc"][m]
             out["chroma_ac"] = out["chroma_ac"].copy()
             out["chroma_ac"][m] = iout["chroma_ac"][m]
-        rbsp = self._write_p_slice(out, is_ref, self._reorder_cmd(ref))
+        reorder, reorder_lt = self._reorder_for(ref)
+        rbsp = self._write_p_slice(out, is_ref, reorder,
+                                   mmco_ops=mmco_ops, reorder_lt=reorder_lt)
         return out, rbsp
 
     def _write_p_slice(self, out, is_ref: bool = True,
                        reorder_abs_diff: int | None = None,
-                       mb_h: int | None = None, first_mb: int = 0) -> bytes:
+                       mb_h: int | None = None, first_mb: int = 0,
+                       mmco_ops=None, reorder_lt=None) -> bytes:
         cfg = self.cfg
         mb_w = cfg.mb_width
         mb_h = cfg.mb_height if mb_h is None else mb_h
         w = BitWriter()
         write_slice_header(w, cfg, 0, self.frame_num, first_mb, self.qp,
                            False, 0, disable_deblock=cfg.deblock_idc,
-                           is_ref=is_ref, reorder_abs_diff=reorder_abs_diff)
+                           is_ref=is_ref, reorder_abs_diff=reorder_abs_diff,
+                           reorder_long_term=reorder_lt, mmco_ops=mmco_ops)
         if cfg.entropy_cabac:
             self._write_p_slice_cabac(w, out, mb_h)
             return w.get_bytes()

@@ -557,7 +557,8 @@ def _compact_rows(combo, live, S: int):
     return combo
 
 
-def pack_tokens_device(vals, lens, start_bit, max_bytes: int):
+def pack_tokens_device(vals, lens, start_bit, max_bytes: int,
+                       max_tok: int = 1 << 18):
     """Pack (val,len) tokens MSB-first into a byte buffer on device.
 
     vals/lens: token grids whose row-major slot order is the stream
@@ -576,7 +577,7 @@ def pack_tokens_device(vals, lens, start_bit, max_bytes: int):
     Returns (bytes u8 [max_bytes], end_bit i32 (absolute), overflow).
     """
     N = int(np.prod(lens.shape))
-    max_tok = min(1 << 18, N)
+    max_tok = min(max_tok, N)
     ln = lens.reshape(1, -1).astype(jnp.uint32)
     combo = (ln << 16) | vals.reshape(1, -1).astype(jnp.uint32)
     live = ln > 0

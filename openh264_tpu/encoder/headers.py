@@ -68,7 +68,10 @@ def write_pps(cfg) -> bytes:
 def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
                        first_mb: int, qp: int, idr: bool, idr_pic_id: int,
                        disable_deblock: int, is_ref: bool = True,
-                       reorder_abs_diff: int | None = None) -> None:
+                       reorder_abs_diff: int | None = None,
+                       reorder_long_term: int | None = None,
+                       long_term_ref_flag: bool = False,
+                       mmco_ops=None) -> None:
     """slice_type: 2=I, 0=P (all-slices-same convention uses +5).
 
     reorder_abs_diff: when set, emits a single short-term
@@ -77,6 +80,13 @@ def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
     layers to pin each layer to its dyadic reference (the reference
     builds the same effect via its ref-list strategy,
     ref_list_mgr_svc.cpp WelsBuildRefList).
+    reorder_long_term: idc-2 modification pinning the LTR with this
+    long_term_pic_num first in L0 (LTR recovery,
+    ref_list_mgr_svc.cpp WelsBuildRefListLosslessScreenRefSelection).
+    long_term_ref_flag: IDR long_term_reference_flag (marks the IDR as
+    LTR index 0).
+    mmco_ops: list of (op, arg) memory_management_control_operations
+    for adaptive marking (§7.3.3.3; op 0 terminator appended here).
     """
     w.ue(first_mb)
     w.ue(slice_type + 5)             # e.g. 7 = I (all slices), 5 = P
@@ -87,19 +97,33 @@ def write_slice_header(w: BitWriter, cfg, slice_type: int, frame_num: int,
     # poc type 2: nothing
     if slice_type == 0:              # P
         w.flag(False)                # num_ref_idx_active_override
-        if reorder_abs_diff is None:
+        if reorder_abs_diff is None and reorder_long_term is None:
             w.flag(False)            # ref_pic_list_modification_flag_l0
         else:
             w.flag(True)
-            w.ue(0)                  # modification_of_pic_nums_idc = 0
-            w.ue(reorder_abs_diff)   # abs_diff_pic_num_minus1
+            if reorder_long_term is not None:
+                w.ue(2)              # modification_of_pic_nums_idc = 2
+                w.ue(reorder_long_term)  # long_term_pic_num
+            else:
+                w.ue(0)              # modification_of_pic_nums_idc = 0
+                w.ue(reorder_abs_diff)   # abs_diff_pic_num_minus1
             w.ue(3)                  # end of modification loop
     # dec_ref_pic_marking (only present on reference pictures)
     if idr:
         w.flag(False)                # no_output_of_prior_pics
-        w.flag(False)                # long_term_reference_flag
+        w.flag(long_term_ref_flag)   # long_term_reference_flag
     elif is_ref:
-        w.flag(False)                # adaptive_ref_pic_marking_mode
+        if mmco_ops:
+            w.flag(True)             # adaptive_ref_pic_marking_mode
+            for op, arg in mmco_ops:
+                w.ue(op)
+                if op in (1, 2, 3, 4, 6):
+                    w.ue(arg)
+                if op == 3:          # op 3 carries two arguments
+                    raise NotImplementedError("MMCO 3 needs 2 args")
+            w.ue(0)                  # end of MMCO loop
+        else:
+            w.flag(False)            # adaptive_ref_pic_marking_mode
     if cfg.entropy_cabac and slice_type != 2:
         w.ue(0)                      # cabac_init_idc
     w.se(qp - cfg.pic_init_qp)       # slice_qp_delta
