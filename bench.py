@@ -78,9 +78,7 @@ def ref_fps_live(yuv, nframes):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def our_fps(yuv, nframes):
-    from openh264_tpu.encoder.encoder import EncoderConfig
-    from openh264_tpu.encoder.session_device import DeviceSessionEncoder
+def _load_frames(yuv, nframes):
     fsz = W * H * 3 // 2
     raw = open(yuv, 'rb').read()
     frames = []
@@ -90,22 +88,56 @@ def our_fps(yuv, nframes):
             np.frombuffer(f[:W * H], np.uint8).reshape(H, W),
             np.frombuffer(f[W * H:W * H * 5 // 4], np.uint8).reshape(H // 2, W // 2),
             np.frombuffer(f[W * H * 5 // 4:], np.uint8).reshape(H // 2, W // 2)))
-    # warmup: compile the I and P steps
-    warm = DeviceSessionEncoder(EncoderConfig(width=W, height=H, qp=26))
-    warm.encode_stream(iter(frames[:2]))
-    # measured run: 33 frames (IDR + 32 P) through the pipelined
-    # device-resident session — includes input upload from host numpy
-    # and Annex-B assembly on host (honest end-to-end)
-    enc = DeviceSessionEncoder(EncoderConfig(width=W, height=H, qp=26))
+    return frames
+
+
+def _session_fps(frames, nframes, cfg_kwargs, tag):
+    from openh264_tpu.encoder.encoder import EncoderConfig
+    from openh264_tpu.encoder.session_device import DeviceSessionEncoder
     seq = [frames[0]] + [frames[i % nframes] for i in range(1, 33)]
+    # warmup: one full fetch batch + remainder so every executable
+    # (steps, flush stacks, upload slicing) compiles before timing
+    warm = DeviceSessionEncoder(EncoderConfig(width=W, height=H, **cfg_kwargs))
+    warm.encode_stream(iter(seq[:warm.fetch_batch + 1]))
+    enc = DeviceSessionEncoder(EncoderConfig(width=W, height=H, **cfg_kwargs))
+    enc._fetch_window = warm._fetch_window
     t0 = time.perf_counter()
     outs = enc.encode_stream(iter(seq))
     dt = time.perf_counter() - t0
     st = dict(enc.last_stats)
     st["total_s"] = round(dt, 3)
     st["bytes"] = sum(len(o) for o in outs)
-    print("stage timers:", json.dumps(st), file=sys.stderr)
+    print(f"stage timers [{tag}]:", json.dumps(st), file=sys.stderr)
     return len(seq) / dt
+
+
+def our_fps(yuv, nframes):
+    """Headline: constant-QP single-slice IPPP CAVLC e2e (incl. input
+    upload from host numpy and Annex-B assembly on host)."""
+    return _session_fps(_load_frames(yuv, nframes), nframes, dict(qp=26),
+                        "constqp")
+
+
+def our_fps_featured(yuv, nframes):
+    """The full-feature config the VERDICT asked to keep fast: rate
+    control + 4 slices/frame + 2 temporal layers on the device path."""
+    return _session_fps(
+        _load_frames(yuv, nframes), nframes,
+        dict(qp=26, rc_mode=1, target_bitrate=6_000_000,
+             max_frame_rate=30.0, num_slices=4, temporal_layers=2,
+             enable_frame_skip=False), "rc4slice2tid")
+
+
+def our_decode_fps():
+    """BASELINE protocol #1 analog: decode a conformance CAVLC stream
+    (the host parse + batched recon path)."""
+    from openh264_tpu.decoder import H264Decoder
+    bs = open('/root/reference/res/SVA_Base_B.264', 'rb').read()
+    d = H264Decoder()
+    d.decode_annexb(bs)          # warm compiles
+    t0 = time.perf_counter()
+    frames = H264Decoder().decode_annexb(bs)
+    return len(frames) / (time.perf_counter() - t0)
 
 
 def main():
@@ -115,11 +147,18 @@ def main():
     if ref is None:
         ref = REF_FPS_720P_STORED
     ours = our_fps(yuv, n)
+    feat = our_fps_featured(yuv, n)
+    dec = our_decode_fps()
     print(json.dumps({
         "metric": "encode_720p_e2e_fps",
         "value": round(ours, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(ours / ref, 4),
+        "extras": {
+            "encode_720p_rc_4slice_2tid_fps": round(feat, 3),
+            "decode_qcif_cavlc_fps": round(dec, 3),
+            "ref_encode_fps_live": round(ref, 3),
+        },
     }))
 
 

@@ -258,7 +258,7 @@ class H264Decoder:
                         ref_pics[p.pic_id] = p
                 last_l0 = l0
             from .wpred import build_slice_wp
-            fs.wp_by_slice.append(build_slice_wp(sh, i0, i1))
+            fs.wp_by_slice.append(build_slice_wp(sh, i0, i1, cur_poc=poc))
             ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
                                      poc=poc)
             try:

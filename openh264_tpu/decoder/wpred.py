@@ -45,7 +45,7 @@ class SliceWP:
         return w["chroma_weight"][comp], w["chroma_offset"][comp]
 
 
-def build_slice_wp(sh, init_l0, init_l1) -> SliceWP:
+def build_slice_wp(sh, init_l0, init_l1, cur_poc=None) -> SliceWP:
     """Build the per-slice WP descriptor.
 
     init_l0/init_l1 are the INITIAL (pre-reorder) reference lists: the
@@ -53,6 +53,13 @@ def build_slice_wp(sh, init_l0, init_l1) -> SliceWP:
     (decoder_core.cpp:2439 InitRefPicList calls CreateImplicitWeightTable
     before WelsReorderRefList2) yet indexes it with post-reorder ref
     indices; we replicate that behavior for bit-exactness.
+
+    cur_poc: the picture's computed (unwrapped) POC. The reference's
+    CreateImplicitWeightTable reads pSliceHeader->iPicOrderCntLsb, but
+    the slice-header parse has already OVERWRITTEN that field with
+    pocMsb + pocLsb (the full POC) — so after a pic_order_cnt_lsb wrap
+    the implicit weights must use the full POC, not the raw lsb (the
+    same parse quirk that drives ComputeColocatedTemporalScaling).
     """
     from .slicehdr import P_SLICE, B_SLICE
 
@@ -68,10 +75,7 @@ def build_slice_wp(sh, init_l0, init_l1) -> SliceWP:
         return SliceWP(WP_B_EXPLICIT, sh.luma_log2_weight_denom,
                        sh.chroma_log2_weight_denom, dict(sh.weights))
     # implicit (idc == 2): POC-distance weights, denom 5, offsets 0.
-    # Quirk parity: iPoc is the RAW pic_order_cnt_lsb of the current
-    # slice, ref POCs are the computed frame POCs
-    # (CreateImplicitWeightTable uses pSliceHeader->iPicOrderCntLsb).
-    poc = sh.pic_order_cnt_lsb
+    poc = sh.pic_order_cnt_lsb if cur_poc is None else cur_poc
     n0, n1 = sh.num_ref_idx_l0_active, sh.num_ref_idx_l1_active
     if (len(init_l0) > 0 and len(init_l1) > 0 and n0 == 1 and n1 == 1
             and init_l0[0].poc + init_l1[0].poc == 2 * poc):

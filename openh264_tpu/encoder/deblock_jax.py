@@ -131,20 +131,19 @@ def _chroma_edge(sub, bs, alpha, beta, tc0):
 
 def _use_pallas() -> bool:
     import os
-    if os.environ.get("OPENH264_TPU_NO_PALLAS"):
-        return False
-    try:
-        import jax as _jax
-        return _jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    return bool(os.environ.get("OPENH264_TPU_PALLAS_DEBLOCK"))
 
 
 def deblock_frame_auto(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                        mb_w: int, mb_h: int):
-    """Product-path dispatch: the VMEM-resident Pallas wavefront on TPU
-    (deblock_pallas.py), the XLA sheared fori_loop elsewhere. Both are
-    bit-exact twins."""
+    """Product-path dispatch. The XLA sheared fori_loop is the default
+    (~34 ms/frame at 720p on the shared v5e, dominated by the ~170
+    serialized diagonal steps). The Pallas twin (deblock_pallas.py,
+    bit-exact in interpreter mode) is opt-in via
+    OPENH264_TPU_PALLAS_DEBLOCK: the current Mosaic release cannot
+    lower the wavefront's halo interleave (value-level DUS/scatter are
+    unimplemented and DMA slices must respect (8,128) tile
+    boundaries), so the compiled path stays off by default."""
     if _use_pallas():
         from .deblock_pallas import deblock_frame_pallas
         return deblock_frame_pallas(y, u, v, BSV, BSH, qp_mb, cqp_mb,
@@ -154,7 +153,7 @@ def deblock_frame_auto(y, u, v, BSV, BSH, qp_mb, cqp_mb,
 
 
 def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
-                         mb_w: int, mb_h: int):
+                         mb_w: int, mb_h: int, unroll: int = 1):
     """Filter one frame in place (functionally); returns (y, u, v).
 
     y/u/v: uint8 planes (MB-aligned); BSV/BSH: [4*mb_h, 4*mb_w] int32;
@@ -180,9 +179,15 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
     cqp_g = jnp.asarray(cqp_mb, jnp.int32).reshape(mb_h, mb_w)
 
     nd = mb_w + 2 * (mb_h - 1)
+    # `unroll` diagonals run per loop iteration on one register-held
+    # window (the loop body's per-op dispatch overhead dominated the
+    # original 1-diagonal formulation: 168 x ~200 us at 720p); padded
+    # trailing diagonals are no-ops (their lanes' bS masks to 0)
+    ng = -(-nd // max(1, unroll))
+    nd_pad = ng * max(1, unroll)
     OFF, OFFC = 36, 18
-    WS = 16 * (nd - 1) + 56 + 8
-    WSC = 8 * (nd - 1) + 28 + 8
+    WS = 16 * (nd_pad - 1) + 56 + 8
+    WSC = 8 * (nd_pad - 1) + 28 + 8
 
     def shear(plane, size, off, ws):
         S = jnp.zeros((plane.shape[0], ws), jnp.int32)
@@ -224,22 +229,21 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
         return (alpha_t[ia][:, None], beta_t[ia][:, None],
                 tc0_t[ia[:, None], jnp.clip(bs - 1, 0, 2)])
 
-    def body(d, st):
-        S, SUV = st
+    def one_diag(C, CUV, d):
+        """Filter one knight diagonal; C: [H,56], CUV: [2Hc,28] window
+        values; returns the updated pair."""
         x = d - 2 * jj                                       # [J] MB x
         valid = (x >= 0) & (x < mb_w)
         xc = jnp.clip(x, 0, mb_w - 1)
         left_ok = valid & (x > 0)
         top_ok = valid & (jj > 0)
 
-        C = jax.lax.dynamic_slice(S, (0, 16 * d), (H, 56))
         Cb = C.reshape(mb_h, 16, 56)
         own = Cb[:, :, 32:52]                                # [J,16,20]
         halo = jnp.concatenate(
             [jnp.zeros((1, 4, 20), jnp.int32), Cb[:-1, 12:16, 0:20]], 0)
         R = jnp.concatenate([halo, own], 1)                  # [J,20,20]
 
-        CUV = jax.lax.dynamic_slice(SUV, (0, 8 * d), (2 * Hc, 28))
         CUVb = CUV.reshape(2, mb_h, 8, 28)
         halo_c = jnp.concatenate(
             [jnp.zeros((2, 1, 2, 10), jnp.int32),
@@ -304,15 +308,30 @@ def deblock_frame_device(y, u, v, BSV, BSH, qp_mb, cqp_mb,
 
         Cb2 = Cb.at[:, :, 32:52].set(R[:, 4:20, :])
         Cb2 = Cb2.at[:-1, 12:16, 0:20].set(R[1:, 0:4, :])
-        S = jax.lax.dynamic_update_slice(S, Cb2.reshape(H, 56), (0, 16 * d))
         RUVb = RUV.reshape(2, mb_h, 10, 10)
         CUVb2 = CUVb.at[:, :, :, 16:26].set(RUVb[:, :, 2:10, :])
         CUVb2 = CUVb2.at[:, :-1, 6:8, 0:10].set(RUVb[:, 1:, 0:2, :])
-        SUV = jax.lax.dynamic_update_slice(
-            SUV, CUVb2.reshape(2 * Hc, 28), (0, 8 * d))
+        return Cb2.reshape(H, 56), CUVb2.reshape(2 * Hc, 28)
+
+    U = max(1, unroll)
+    WL, WC = 16 * (U - 1) + 56, 8 * (U - 1) + 28
+
+    def body(g, st):
+        S, SUV = st
+        Wv = jax.lax.dynamic_slice(S, (0, 16 * U * g), (H, WL))
+        Wc = jax.lax.dynamic_slice(SUV, (0, 8 * U * g), (2 * Hc, WC))
+        for u_ in range(U):
+            d = U * g + u_
+            C = jax.lax.slice(Wv, (0, 16 * u_), (H, 16 * u_ + 56))
+            CUV = jax.lax.slice(Wc, (0, 8 * u_), (2 * Hc, 8 * u_ + 28))
+            C2, CUV2 = one_diag(C, CUV, d)
+            Wv = jax.lax.dynamic_update_slice(Wv, C2, (0, 16 * u_))
+            Wc = jax.lax.dynamic_update_slice(Wc, CUV2, (0, 8 * u_))
+        S = jax.lax.dynamic_update_slice(S, Wv, (0, 16 * U * g))
+        SUV = jax.lax.dynamic_update_slice(SUV, Wc, (0, 8 * U * g))
         return S, SUV
 
-    S, SUV = jax.lax.fori_loop(0, nd, body, (S, SUV))
+    S, SUV = jax.lax.fori_loop(0, ng, body, (S, SUV))
     return (unshear(S, 16, OFF, W).astype(jnp.uint8),
             unshear(SUV[:Hc], 8, OFFC, Wc).astype(jnp.uint8),
             unshear(SUV[Hc:], 8, OFFC, Wc).astype(jnp.uint8))

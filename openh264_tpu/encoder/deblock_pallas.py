@@ -135,73 +135,114 @@ def _wavefront_params(BSV, BSH, qp_mb, cqp_mb, mb_w: int, mb_h: int):
             bsc_v, ac_v, bc_v, tc_v, bsc_h, ac_h, bc_h, tc_h)
 
 
+
+def _box_set(x, upd, starts, axis=0):
+    """x[box] = upd for a static box, built from slices + concats
+    (Mosaic lowers neither scatter nor value-level
+    dynamic_update_slice; contiguous concatenation it handles well)."""
+    if axis == len(starts):
+        return upd
+    st = starts[axis]
+    u = upd.shape[axis]
+    mid = _box_set(jax.lax.slice_in_dim(x, st, st + u, axis=axis),
+                   upd, starts, axis + 1)
+    parts = []
+    if st > 0:
+        parts.append(jax.lax.slice_in_dim(x, 0, st, axis=axis))
+    parts.append(mid)
+    if st + u < x.shape[axis]:
+        parts.append(jax.lax.slice_in_dim(x, st + u, x.shape[axis],
+                                          axis=axis))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis)
+
+
 def _kernel(bs_v, a_v, b_v, t_v, bs_h, a_h, b_h, t_h,
             bsc_v, ac_v, bc_v, tc_v, bsc_h, ac_h, bc_h, tc_h,
-            S_in, SUV_in, S_ref, SUV_ref, *, mb_h, Hc):
+            S_in, SUV_in, S_ref, SUV_ref,
+            wl_ref, wc_ref, R_ref, RUV_ref, sem_l, sem_c,
+            *, mb_h, Hc):
+    """One wavefront diagonal.
+
+    The sheared planes live in HBM: their 16-px-stride moving window
+    cannot satisfy the vector units' lane-alignment rules, and Mosaic
+    has no relayout for the halo/own interleave — so ALL irregular
+    data movement here is DMA (alignment-free): HBM window -> VMEM
+    (wl/wc), own+halo gather into the per-band R tiles, filtered
+    writeback, VMEM -> HBM. The filter math itself runs on statically
+    sliced VMEM tiles (spec 8.7.2.3-4; parity: deblocking_common.cpp
+    DeblockLuma{Lt4,Eq4}_c)."""
     del S_in, SUV_in  # aliased into S_ref / SUV_ref
     J = mb_h
-    H = J * 16
     d = pl.program_id(0)
-    # materialize this diagonal's parameter blocks ([1, ...] -> [...])
     bs_v, a_v, b_v, t_v = bs_v[0], a_v[0], b_v[0], t_v[0]
     bs_h, a_h, b_h, t_h = bs_h[0], a_h[0], b_h[0], t_h[0]
     bsc_v, ac_v, bc_v, tc_v = bsc_v[0], ac_v[0], bc_v[0], tc_v[0]
     bsc_h, ac_h, bc_h, tc_h = bsc_h[0], ac_h[0], bc_h[0], tc_h[0]
 
-    C = S_ref[:, pl.ds(16 * d, 56)].astype(jnp.int32)     # [H, 56]
-    Cb = C.reshape(J, 16, 56)
-    own = Cb[:, :, 32:52]
-    halo = jnp.concatenate(
-        [jnp.zeros((1, 4, 20), jnp.int32), Cb[:-1, 12:16, 0:20]], 0)
-    R = jnp.concatenate([halo, own], 1)                   # [J, 20, 20]
+    def dma(src, dst, sem):
+        cp = pltpu.make_async_copy(src, dst, sem)
+        cp.start()
+        cp.wait()
 
-    CUV = SUV_ref[:, pl.ds(8 * d, 28)].astype(jnp.int32)  # [2Hc, 28]
-    CUVb = CUV.reshape(2, J, 8, 28)
-    halo_c = jnp.concatenate(
-        [jnp.zeros((2, 1, 2, 10), jnp.int32), CUVb[:, :-1, 6:8, 0:10]], 1)
-    RUV = jnp.concatenate([halo_c, CUVb[:, :, :, 16:26]],
-                          2).reshape(2 * J, 10, 10)
+    # HBM window -> VMEM
+    dma(S_ref.at[:, :, pl.ds(16 * d, 56)], wl_ref, sem_l)
+    dma(SUV_ref.at[:, :, pl.ds(8 * d, 28)], wc_ref, sem_c)
+    # assemble R tiles: 16 own rows (left-halo cols included) + 4 halo
+    # rows from the band above (which the shear parks at cols 0:20)
+    dma(wl_ref.at[:, :, 32:52], R_ref.at[:, 4:20, :], sem_l)
+    dma(wl_ref.at[0:J - 1, 12:16, 0:20], R_ref.at[1:J, 0:4, :], sem_l)
+    dma(wc_ref.at[:, :, 16:26], RUV_ref.at[:, 2:10, :], sem_c)
+    dma(wc_ref.at[0:J - 1, 6:8, 0:10], RUV_ref.at[1:J, 0:2, :], sem_c)
+    dma(wc_ref.at[J:2 * J - 1, 6:8, 0:10],
+        RUV_ref.at[J + 1:2 * J, 0:2, :], sem_c)
+    # (band 0's halo rows are stale scratch — harmless: top_ok masks
+    # their boundary strengths to 0 and they are never written back)
 
     def tile2(a):
         return jnp.concatenate([a, a], 0)
 
     for e in range(4):
-        sub = R[:, 4:20, 4 * e:4 * e + 8]
-        new = _luma_edge(sub, bs_v[:, e], a_v[:, e, None],
-                         b_v[:, e, None], t_v[:, e])
-        R = R.at[:, 4:20, 4 * e + 1:4 * e + 7].set(new)
+        sub = R_ref[:, 4:20, 4 * e:4 * e + 8].astype(jnp.int32)
+        new = _luma_edge(sub, bs_v[:, e], a_v[:, e:e + 1],
+                         b_v[:, e:e + 1], t_v[:, e])
+        R_ref[:, 4:20, 4 * e + 1:4 * e + 7] = new.astype(R_ref.dtype)
         if e in (0, 2):
             ce = e // 2
-            subc = RUV[:, 2:10, 4 * ce:4 * ce + 4]
+            subc = RUV_ref[:, 2:10, 4 * ce:4 * ce + 4].astype(jnp.int32)
             newc = _chroma_edge(subc, tile2(bsc_v[:, ce]),
-                                tile2(ac_v[:, ce, None]),
-                                tile2(bc_v[:, ce, None]),
+                                tile2(ac_v[:, ce:ce + 1]),
+                                tile2(bc_v[:, ce:ce + 1]),
                                 tile2(tc_v[:, ce]))
-            RUV = RUV.at[:, 2:10, 4 * ce + 1:4 * ce + 3].set(newc)
+            RUV_ref[:, 2:10, 4 * ce + 1:4 * ce + 3] = newc.astype(
+                RUV_ref.dtype)
 
     for e in range(4):
-        sub = R[:, 4 * e:4 * e + 8, 4:20].transpose(0, 2, 1)
-        new = _luma_edge(sub, bs_h[:, e], a_h[:, e, None],
-                         b_h[:, e, None], t_h[:, e])
-        R = R.at[:, 4 * e + 1:4 * e + 7, 4:20].set(new.transpose(0, 2, 1))
+        sub = R_ref[:, 4 * e:4 * e + 8, 4:20].astype(
+            jnp.int32).transpose(0, 2, 1)
+        new = _luma_edge(sub, bs_h[:, e], a_h[:, e:e + 1],
+                         b_h[:, e:e + 1], t_h[:, e])
+        R_ref[:, 4 * e + 1:4 * e + 7, 4:20] = new.transpose(
+            0, 2, 1).astype(R_ref.dtype)
         if e in (0, 2):
             ce = e // 2
-            subc = RUV[:, 4 * ce:4 * ce + 4, 2:10].transpose(0, 2, 1)
+            subc = RUV_ref[:, 4 * ce:4 * ce + 4, 2:10].astype(
+                jnp.int32).transpose(0, 2, 1)
             newc = _chroma_edge(subc, tile2(bsc_h[:, ce]),
-                                tile2(ac_h[:, ce, None]),
-                                tile2(bc_h[:, ce, None]),
+                                tile2(ac_h[:, ce:ce + 1]),
+                                tile2(bc_h[:, ce:ce + 1]),
                                 tile2(tc_h[:, ce]))
-            RUV = RUV.at[:, 4 * ce + 1:4 * ce + 3, 2:10].set(
-                newc.transpose(0, 2, 1))
+            RUV_ref[:, 4 * ce + 1:4 * ce + 3, 2:10] = newc.transpose(
+                0, 2, 1).astype(RUV_ref.dtype)
 
-    Cb2 = Cb.at[:, :, 32:52].set(R[:, 4:20, :])
-    Cb2 = Cb2.at[:-1, 12:16, 0:20].set(R[1:, 0:4, :])
-    S_ref[:, pl.ds(16 * d, 56)] = Cb2.reshape(H, 56).astype(jnp.uint8)
-    RUVb = RUV.reshape(2, J, 10, 10)
-    CUVb2 = CUVb.at[:, :, :, 16:26].set(RUVb[:, :, 2:10, :])
-    CUVb2 = CUVb2.at[:, :-1, 6:8, 0:10].set(RUVb[:, 1:, 0:2, :])
-    SUV_ref[:, pl.ds(8 * d, 28)] = CUVb2.reshape(2 * Hc, 28).astype(
-        jnp.uint8)
+    # scatter the filtered tiles back and push the window to HBM
+    dma(R_ref.at[:, 4:20, :], wl_ref.at[:, :, 32:52], sem_l)
+    dma(R_ref.at[1:J, 0:4, :], wl_ref.at[0:J - 1, 12:16, 0:20], sem_l)
+    dma(RUV_ref.at[:, 2:10, :], wc_ref.at[:, :, 16:26], sem_c)
+    dma(RUV_ref.at[1:J, 0:2, :], wc_ref.at[0:J - 1, 6:8, 0:10], sem_c)
+    dma(RUV_ref.at[J + 1:2 * J, 0:2, :],
+        wc_ref.at[J:2 * J - 1, 6:8, 0:10], sem_c)
+    dma(wl_ref, S_ref.at[:, :, pl.ds(16 * d, 56)], sem_l)
+    dma(wc_ref, SUV_ref.at[:, :, pl.ds(8 * d, 28)], sem_c)
 
 
 @functools.partial(jax.jit,
@@ -217,9 +258,12 @@ def deblock_frame_pallas(y, u, v, BSV, BSH, qp_mb, cqp_mb,
     WS = 16 * (nd - 1) + 56 + 8
     WSC = 8 * (nd - 1) + 28 + 8
 
-    S = _shear(y, 16, OFF, WS, mb_h)
+    # banded shapes [J, 16, WS] / [2J, 8, WSC]: the kernel's window and
+    # halo DMAs address (band, row, col) boxes directly
+    S = _shear(y, 16, OFF, WS, mb_h).reshape(J, 16, WS)
     SUV = jnp.concatenate([_shear(u, 8, OFFC, WSC, mb_h),
-                           _shear(v, 8, OFFC, WSC, mb_h)], 0)
+                           _shear(v, 8, OFFC, WSC, mb_h)],
+                          0).reshape(2 * J, 8, WSC)
     params = _wavefront_params(BSV, BSH, qp_mb, cqp_mb, mb_w, mb_h)
 
     def pspec(p):
@@ -228,23 +272,31 @@ def deblock_frame_pallas(y, u, v, BSV, BSH, qp_mb, cqp_mb,
                             memory_space=pltpu.VMEM)
 
     in_specs = [pspec(p) for p in params] + [
-        pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     kern = functools.partial(_kernel, mb_h=mb_h, Hc=Hc)
     S2, SUV2 = pl.pallas_call(
         kern,
         grid=(nd,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.HBM),
+                   pl.BlockSpec(memory_space=pltpu.HBM)),
         out_shape=(jax.ShapeDtypeStruct(S.shape, jnp.uint8),
                    jax.ShapeDtypeStruct(SUV.shape, jnp.uint8)),
         input_output_aliases={len(params): 0, len(params) + 1: 1},
+        scratch_shapes=[
+            pltpu.VMEM((J, 16, 56), jnp.uint8),
+            pltpu.VMEM((2 * J, 8, 28), jnp.uint8),
+            pltpu.VMEM((J, 20, 20), jnp.uint8),
+            pltpu.VMEM((2 * J, 10, 10), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(*params, S, SUV)
-    return (_unshear(S2, 16, OFF, W, mb_h),
-            _unshear(SUV2[:Hc], 8, OFFC, Wc, mb_h),
-            _unshear(SUV2[Hc:], 8, OFFC, Wc, mb_h))
+    return (_unshear(S2.reshape(J * 16, WS), 16, OFF, W, mb_h),
+            _unshear(SUV2.reshape(2 * Hc, WSC)[:Hc], 8, OFFC, Wc, mb_h),
+            _unshear(SUV2.reshape(2 * Hc, WSC)[Hc:], 8, OFFC, Wc, mb_h))

@@ -289,13 +289,19 @@ def _nc_chroma(tc_c, mb_w: int, mb_h: int):
 _B8MAP = ((np.arange(16) // 8) * 2 + (np.arange(16) % 4) // 2)
 
 
-def p_slice_tokens(out: dict, mb_w: int, mb_h: int, slice_qp):
+def p_slice_tokens(out: dict, mb_w: int, mb_h: int, slice_qp,
+                   n_valid=None):
     """Token grids for a whole P16x16 CAVLC slice body (device arrays).
 
     out: dict with mv [N,2], luma_ac [N,16,16], chroma_dc [N,2,4],
     chroma_ac [N,2,4,16], optional intra_mask/i16_mode/chroma_mode/
     luma_dc/mb_qp. Returns (vals [N,P_SLOTS+1] u32, lens u8): the final
     row's extra slot carries the trailing skip-run token.
+
+    n_valid (traced, optional): only MBs [0, n_valid) are real; the
+    rest are padding that must emit NO tokens and not count toward the
+    trailing skip run — used to tokenize unequal slice bands as one
+    batched (vmapped) call on padded equal-size grids.
     """
     n_mb = mb_w * mb_h
     mv = jnp.asarray(out["mv"], jnp.int32).reshape(mb_h, mb_w, 2)
@@ -324,10 +330,18 @@ def p_slice_tokens(out: dict, mb_w: int, mb_h: int, slice_qp):
     is_skip = (cbp == 0) & (mvf == skip_mv.reshape(n_mb, 2)).all(1) & ~intra
     coded = ~is_skip
     ar = jnp.arange(n_mb, dtype=jnp.int32)
+    if n_valid is not None:
+        nv = jnp.asarray(n_valid, jnp.int32)
+        valid = ar < nv
+        is_skip = is_skip & valid
+        coded = coded & valid
+        intra = intra & valid
+    else:
+        nv = n_mb
     lastc = jax.lax.cummax(jnp.where(coded, ar, -1))
     prevc = jnp.concatenate([jnp.full(1, -1, jnp.int32), lastc[:-1]])
     skiprun = ar - prevc - 1                      # valid where coded
-    trailing = n_mb - 1 - lastc[-1]
+    trailing = nv - 1 - lastc[-1]
     none_coded = lastc[-1] < 0
 
     hv = [jnp.zeros(n_mb, jnp.uint32) for _ in range(6)]
