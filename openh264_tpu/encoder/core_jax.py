@@ -939,6 +939,7 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         return plane.reshape(mb_h, 8, mb_w, 8).transpose(1, 3, 0, 2).reshape(
             8, 8, n_mb).astype(jnp.int32)
 
+    sad_skip_luma = sad_skip                      # luma-only, cached
     src_u_soa = chroma_soa(u)
     src_v_soa = chroma_soa(v)
     pu_s = chroma_pred(ru, skip_q)
@@ -952,15 +953,41 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     promote = (sad_skip == 0) | \
         (jnp.asarray(prev_skip, bool) &
          (sad_skip < jnp.asarray(prev_skip_sad, jnp.int32)))
-    for _ in range(2):
+    # neighbor skip-SAD threshold (PredictSadSkip, md.cpp:871-906): the
+    # caches hold LUMA skip SADs, zeroed for non-skip neighbors; when
+    # exactly ONE causal neighbor is a skip its SAD is the threshold
+    # directly (the iCount single-position cases), the top row falls
+    # back to the left neighbor, everything else takes the median.
+    # The reference decides MBs in raster order; this fixed point
+    # converges toward the same cascade in a few whole-frame rounds.
+    sgl = sad_skip_luma.reshape(mb_h, mb_w)
+    for _ in range(3):
         g = promote.reshape(mb_h, mb_w)
-        s = jnp.where(g, sad_skip.reshape(mb_h, mb_w), 0)
-        zz0 = jnp.zeros_like(s)
-        aA = zz0.at[:, 1:].set(s[:, :-1])
-        aB = zz0.at[1:, :].set(s[:-1, :])
-        aC = zz0.at[1:, :-1].set(s[:-1, 1:])
-        thr = aA + aB + aC - jnp.minimum(jnp.minimum(aA, aB), aC) \
-            - jnp.maximum(jnp.maximum(aA, aB), aC)
+        fz = jnp.zeros((mb_h, mb_w), bool)
+        skA = fz.at[:, 1:].set(g[:, :-1])
+        skB = fz.at[1:, :].set(g[:-1, :])
+        # C = top-right; at the right edge it falls back to D (top-left)
+        skC = fz.at[1:, :-1].set(g[:-1, 1:])
+        skD = fz.at[1:, 1:].set(g[:-1, :-1])
+        right_edge = jnp.zeros((mb_h, mb_w), bool).at[:, -1:].set(True)
+        skC = jnp.where(right_edge, skD, skC)
+        zz0 = jnp.zeros_like(sgl)
+        sA = jnp.where(skA, zz0.at[:, 1:].set(sgl[:, :-1]), 0)
+        sB = jnp.where(skB, zz0.at[1:, :].set(sgl[:-1, :]), 0)
+        sC_ = jnp.where(skC & ~right_edge,
+                        zz0.at[1:, :-1].set(sgl[:-1, 1:]), 0)
+        sD_ = jnp.where(skC & right_edge,
+                        zz0.at[1:, 1:].set(sgl[:-1, :-1]), 0)
+        sC = jnp.where(right_edge, sD_, sC_)
+        cnt = skA.astype(jnp.int32) + skB + skC
+        med = sA + sB + sC - jnp.minimum(jnp.minimum(sA, sB), sC) \
+            - jnp.maximum(jnp.maximum(sA, sB), sC)
+        one = jnp.where(skA, sA, jnp.where(skB, sB, sC))
+        thr = jnp.where(cnt == 1, one, med)
+        # top row: B and C are unavailable -> threshold is A's cache
+        top_row = jnp.zeros((mb_h, mb_w), bool).at[:1, :].set(True)
+        has_left = jnp.zeros((mb_h, mb_w), bool).at[:, 1:].set(True)
+        thr = jnp.where(top_row & has_left, sA, thr)
         promote = promote | (sad_skip < thr.reshape(-1))
     best_mv = jnp.where(promote[:, None], skip_q, best_mv)
     pred_soa = jnp.where(promote[None, None, :], pred_skip, pred_soa)
@@ -1025,7 +1052,8 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
         "mv": best_mv,
         "inter_cost": best_cost,
         "skip_mask": skip_flags,
-        "skip_sad": sad_skip,
+        # luma-only, like the reference's pMbSkipSad chain
+        "skip_sad": sad_skip_luma,
         "intra_cost_proxy": intra_satd,
         "luma_ac": lev.transpose(3, 2, 0, 1).reshape(n_mb, 16, 16),
         "chroma_dc": jnp.stack([dcu, dcv], 1),

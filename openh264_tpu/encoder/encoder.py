@@ -43,6 +43,9 @@ class EncoderConfig:
     chroma_qp_offset: int = 0
     search_range: int = 8
     enable_intra_in_p: bool = True
+    # per-MB I16x16-vs-I4x4 mode decision on I frames (native C
+    # sequential wavefront, enc_intra.c; CAVLC single-slice host path)
+    enable_i4x4: bool = False
     num_slices: int = 1  # SM_FIXEDSLCNUM analog: N slices/frame
     enable_adaptive_quant: bool = False   # VAA-driven per-MB delta QP
     enable_scene_change_detect: bool = False  # SCD -> IDR decision
@@ -448,9 +451,13 @@ class H264Encoder:
 
     # ------------------------------------------------------------------
     def _frame_symbols_i(self, out) -> FrameSymbols:
+        from ..decoder.framedata import MB_I4x4
         cfg = self.cfg
         fs = FrameSymbols(cfg.mb_width, cfg.mb_height)
         fs.mb_type[:] = MB_I16x16
+        kind = out.get("kind")
+        if kind is not None:
+            fs.mb_type[np.asarray(kind) == 0] = MB_I4x4
         fs.slice_id[:] = 0
         fs.qp[:] = self.qp
         fs.disable_deblock[:] = 0 if cfg.deblock_idc != 1 else 1
@@ -497,6 +504,14 @@ class H264Encoder:
     def _encode_i(self, yp, up, vp):
         cfg = self.cfg
         from . import core_jax
+        if cfg.enable_i4x4 and not cfg.entropy_cabac:
+            from ..native import enc_intra_frame_native
+            out = enc_intra_frame_native(
+                yp, up, vp, self.qp, self.qp_c,
+                int(core_jax.QP_COST_TABLE[np.clip(self.qp, 0, 51)]))
+            if out is not None:
+                rbsp = self._write_i_slice(out)
+                return out, rbsp
         out = core_jax.encode_i_frame(yp, up, vp, self.qp, self.qp_c,
                                       mb_w=cfg.mb_width, mb_h=cfg.mb_height)
         out = {k: np.asarray(v) for k, v in out.items()}
@@ -516,8 +531,12 @@ class H264Encoder:
             self._write_i_slice_cabac(w, out, mb_h)
             return w.get_bytes()
         nc = _NcTracker(cfg.mb_width, mb_h)
+        kind = out.get("kind")
         for idx in range(cfg.mb_width * mb_h):
-            self._write_i16_mb(w, out, idx, nc, p_slice=False)
+            if kind is not None and kind[idx] == 0:
+                self._write_i4_mb(w, out, idx, nc, p_slice=False)
+            else:
+                self._write_i16_mb(w, out, idx, nc, p_slice=False)
         w.rbsp_trailing_bits()
         return w.get_bytes()
 
@@ -688,6 +707,51 @@ class H264Encoder:
             sw.mb_coded[idx] = True
             sw.end_of_slice(idx == n_mb - 1)
         sw.eng.write_to(w)
+
+    def _write_i4_mb(self, w, out, idx, nc: _NcTracker, p_slice: bool):
+        """I_4x4 macroblock syntax (mb_type 0; spec 7.3.5 +
+        7.4.5.1 Intra4x4PredMode signalling; parity:
+        WelsSpatialWriteMbSyn intra4x4 branch,
+        svc_set_mb_syn_cavlc.cpp:260)."""
+        from ..decoder.framedata import ZSCAN_TO_RASTER
+        from ..tables.cavlc import CBP_INTRA_INV
+        cfg = self.cfg
+        mbx, mby = idx % cfg.mb_width, idx // cfg.mb_width
+        luma_ac = out["luma_ac"][idx]          # [16 raster][16] full
+        cbp_luma = 0
+        for b8 in range(4):
+            blocks = [(b8 // 2) * 8 + (b8 % 2) * 2 + (i // 2) * 4 + (i % 2)
+                      for i in range(4)]
+            if luma_ac[blocks].any():
+                cbp_luma |= 1 << b8
+        cac = out["chroma_ac"][idx]
+        cdc = out["chroma_dc"][idx]
+        cbp_chroma = 2 if cac.any() else (1 if cdc.any() else 0)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(5 if p_slice else 0)              # mb_type I_4x4
+        prev = out["i4_prev"][idx]
+        rem = out["i4_rem"][idx]
+        for kz in range(16):
+            w.flag(bool(prev[kz]))
+            if not prev[kz]:
+                w.u(3, int(rem[kz]))
+        w.ue(int(out["chroma_mode"][idx]))
+        w.ue(int(CBP_INTRA_INV[cbp]))
+        if cbp:
+            w.se(0)                            # mb_qp_delta
+        gx, gy = mbx * 4, mby * 4
+        for k in range(16):
+            r = int(ZSCAN_TO_RASTER[k])
+            bx, by = r % 4, r // 4
+            b8 = (by >> 1) * 2 + (bx >> 1)
+            if cbp_luma & (1 << b8):
+                coeffs = luma_ac[r][ZIGZAG_4x4]
+                tc = write_residual_block(
+                    w, coeffs, nc.nc_luma(gx + bx, gy + by), 16)
+            else:
+                tc = 0
+            nc.nzc_l[gy + by, gx + bx] = tc
+        self._write_chroma_residual(w, out, idx, nc, cbp_chroma)
 
     def _write_i16_mb(self, w, out, idx, nc: _NcTracker, p_slice: bool):
         cfg = self.cfg

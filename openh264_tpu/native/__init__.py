@@ -17,7 +17,8 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "codec_native.c"),
          os.path.join(_HERE, "parse_cavlc.c"),
-         os.path.join(_HERE, "recon_intra.c")]
+         os.path.join(_HERE, "recon_intra.c"),
+         os.path.join(_HERE, "enc_intra.c")]
 
 _lib = None
 
@@ -66,6 +67,8 @@ def get_lib():
         lib.parse_cavlc_slice.argtypes = [ctypes.c_void_p] * 3
         lib.recon_intra_mbs.restype = None
         lib.recon_intra_mbs.argtypes = [ctypes.c_void_p] * 2
+        lib.enc_intra_frame.restype = None
+        lib.enc_intra_frame.argtypes = [ctypes.c_void_p] * 2
         _lib = lib
     return _lib if _lib else None
 
@@ -276,3 +279,47 @@ def recon_intra_mbs_native(st, fs, intra_list, constrained: bool) -> bool:
                        int(constrained)], np.int32)
     lib.recon_intra_mbs(ptrs.ctypes.data, params.ctypes.data)
     return True
+
+
+def enc_intra_frame_native(y, u, v, qp: int, qp_c: int, lam: int,
+                           enable_i4: bool = True):
+    """I-frame MD + encode in C (I16x16 vs I4x4 per MB, enc_intra.c).
+    Returns the encoder's symbol dict, or None when the native library
+    is unavailable (caller falls back to the I16-only device core)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from ..tables import QUANT_MF_4x4, DEQUANT_4x4
+    y = np.ascontiguousarray(y, np.uint8)
+    u = np.ascontiguousarray(u, np.uint8)
+    v = np.ascontiguousarray(v, np.uint8)
+    mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
+    if mb_w * 4 * mb_h * 4 > 16384 * 16:
+        return None                     # beyond the C mode-grid cap
+    n = mb_w * mb_h
+    qmf = np.ascontiguousarray(np.asarray(QUANT_MF_4x4).reshape(52, 16),
+                               np.int32)
+    dqt = np.ascontiguousarray(np.asarray(DEQUANT_4x4).reshape(52, 16),
+                               np.int32)
+    kind = np.zeros(n, np.int32)
+    i16m = np.zeros(n, np.int32)
+    i4m = np.zeros((n, 16), np.int32)
+    i4prev = np.zeros((n, 16), np.int32)
+    i4rem = np.zeros((n, 16), np.int32)
+    cmode = np.zeros(n, np.int32)
+    ldc = np.zeros((n, 16), np.int32)
+    lac = np.zeros((n, 16, 16), np.int32)
+    cdc = np.zeros((n, 2, 4), np.int32)
+    cac = np.zeros((n, 2, 4, 16), np.int32)
+    ry, ru, rv = y.copy(), u.copy(), v.copy()
+    arrs = [y, u, v, qmf, dqt, kind, i16m, i4m, i4prev, i4rem, cmode,
+            ldc, lac, cdc, cac, ry, ru, rv]
+    ptrs = np.array([a.ctypes.data for a in arrs], np.uint64)
+    params = np.array([mb_w, mb_h, qp, qp_c, lam, int(enable_i4)],
+                      np.int32)
+    lib.enc_intra_frame(ptrs.ctypes.data, params.ctypes.data)
+    return {"kind": kind, "i16_mode": i16m, "i4_modes": i4m,
+            "i4_prev": i4prev, "i4_rem": i4rem, "chroma_mode": cmode,
+            "luma_dc": ldc.reshape(n, 4, 4), "luma_ac": lac,
+            "chroma_dc": cdc, "chroma_ac": cac,
+            "recon_y": ry, "recon_u": ru, "recon_v": rv}

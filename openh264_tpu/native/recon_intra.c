@@ -17,7 +17,7 @@ static inline int clip255(int v) { return v < 0 ? 0 : (v > 255 ? 255 : v); }
 
 /* idct4x4_add parity with oracle/transform.py: horizontal pass stored
  * int16 (wraps), vertical accumulates int32, (x+32)>>6, add, clip. */
-static void idct4_add(const int32_t *coef, const uint8_t *pred, int pstride,
+void idct4_add(const int32_t *coef, const uint8_t *pred, int pstride,
                       uint8_t *dst, int dstride) {
     int32_t h[16];
     for (int r = 0; r < 4; r++) {
@@ -48,7 +48,7 @@ static void idct4_add(const int32_t *coef, const uint8_t *pred, int pstride,
 }
 
 /* ---------------- 4x4 luma predictors (oracle/intra.py predict_4x4) */
-static void pred4(int mode, const int32_t t[8], const int32_t l[4],
+void pred4(int mode, const int32_t t[8], const int32_t l[4],
                   int tl, int at, int al, uint8_t out[16]) {
     int32_t p[16];
 #define LREF(i) ((i) < 0 ? tl : l[i])

@@ -124,9 +124,11 @@ def test_intra_in_p_roundtrip():
     orig_vec = enc._write_p_slice
     orig_scalar = enc._write_p_slice_scalar
 
-    def both(self, out, is_ref=True, reorder_abs_diff=None):
+    def both(self, out, is_ref=True, reorder_abs_diff=None,
+             mmco_ops=None, reorder_lt=None):
         a = orig_scalar(out, is_ref, reorder_abs_diff)
-        b = orig_vec(out, is_ref, reorder_abs_diff)
+        b = orig_vec(out, is_ref, reorder_abs_diff,
+                     mmco_ops=mmco_ops, reorder_lt=reorder_lt)
         assert a == b, "scalar vs vectorized CAVLC writer mismatch"
         n_intra.append(int(out["intra_mask"].sum()))
         return b
