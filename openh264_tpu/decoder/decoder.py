@@ -239,6 +239,15 @@ class H264Decoder:
         ref_pics: dict[int, Picture] = {}
         fs.wp_by_slice = []
         last_l0 = None      # last slice's L0 for EC MV-copy modes
+        fmo_next = None
+        if sh0.pps.num_slice_groups > 1:
+            # FMO: MBs iterate within their slice group (fmo.cpp
+            # FmoNextMb); the map may depend on the per-picture
+            # slice_group_change_cycle (map types 3-5)
+            from .fmo import build_mb_to_slice_group, next_mb_lut
+            gmap = build_mb_to_slice_group(
+                sh0.pps, sps, getattr(sh0, "slice_group_change_cycle", 0))
+            fmo_next = next_mb_lut(gmap)
         for si, (nal, sh, br) in enumerate(slices):
             l0 = l1 = []
             i0 = i1 = []
@@ -260,7 +269,7 @@ class H264Decoder:
             from .wpred import build_slice_wp
             fs.wp_by_slice.append(build_slice_wp(sh, i0, i1, cur_poc=poc))
             ctx = SliceDecodeContext(fs, sh, si, ref_list0=l0, ref_list1=l1,
-                                     poc=poc)
+                                     poc=poc, fmo_next=fmo_next)
             try:
                 if sh.pps.entropy_coding_mode:
                     from .slice_dec_cabac import decode_slice_data_cabac

@@ -30,10 +30,14 @@ class SliceDecodeContext:
     """Per-slice mutable parse state over a FrameSymbols target."""
 
     def __init__(self, fs: FrameSymbols, sh: SliceHeader, slice_idx: int,
-                 ref_list0=None, ref_list1=None, poc: int = 0):
+                 ref_list0=None, ref_list1=None, poc: int = 0,
+                 fmo_next=None):
         self.fs = fs
         self.sh = sh
         self.slice_idx = slice_idx
+        # FMO: next raster MB of the slice's group (fmo.py next_mb_lut,
+        # FmoNextMb analog); None = raster iteration (1 slice group)
+        self.fmo_next = fmo_next
         self.mb_w = fs.mb_w
         self.mb_h = fs.mb_h
         self.qp = sh.qp  # running luma QP
@@ -703,13 +707,15 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
         return end
     mb_idx = sh.first_mb_in_slice
     n_mb = ctx.mb_w * ctx.mb_h
+    nxt = ((lambda i: int(ctx.fmo_next[i])) if ctx.fmo_next is not None
+           else (lambda i: i + 1))
     if sh.slice_type == I_SLICE:
         while True:
             mb_type_raw = br.ue()
             _mb_common_init(ctx, mb_idx)
             decode_i_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
             fs.mb_correct[mb_idx] = True
-            mb_idx += 1
+            mb_idx = nxt(mb_idx)
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
         return mb_idx
@@ -725,7 +731,7 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
                 else:
                     decode_p_skip_mb(ctx, mb_idx)
                 fs.mb_correct[mb_idx] = True
-                mb_idx += 1
+                mb_idx = nxt(mb_idx)
             if mb_idx >= n_mb or not br.more_rbsp_data():
                 break
             mb_type_raw = br.ue()
@@ -734,6 +740,6 @@ def decode_slice_data_cavlc(br: BitReader, ctx: SliceDecodeContext) -> int:
             else:
                 decode_p_mb_cavlc(br, ctx, mb_idx, mb_type_raw)
             fs.mb_correct[mb_idx] = True
-            mb_idx += 1
+            mb_idx = nxt(mb_idx)
         return mb_idx
     raise NotImplementedError(f"slice type {sh.slice_type} parse")

@@ -889,7 +889,8 @@ def decode_slice_data_cabac(rbsp: bytes, bitpos: int,
         else:
             raise NotImplementedError(f"CABAC slice type {st}")
         fs.mb_correct[mb_idx] = True
-        mb_idx += 1
+        mb_idx = (int(ctx.fmo_next[mb_idx]) if ctx.fmo_next is not None
+                  else mb_idx + 1)
         if dec.eng.terminate():  # end_of_slice_flag
             break
     return mb_idx

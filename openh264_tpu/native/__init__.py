@@ -194,6 +194,9 @@ def parse_cavlc_slice_native(br, ctx) -> int | None:
         return None
     if sh.pps.transform_8x8_mode:
         return None
+    if sh.pps.num_slice_groups > 1 or getattr(ctx, "fmo_next", None) \
+            is not None:
+        return None    # FMO group iteration stays on the Python path
     fs = ctx.fs
     from ..decoder.mvpred import ensure_motion_grids
     ensure_motion_grids(fs)
