@@ -24,6 +24,9 @@ def ensure_motion_grids(fs):
         fs.grefw = np.zeros((2, h4, w4), dtype=bool)
 
 
+_ZMV = np.zeros(2, np.int32)
+
+
 class MvContext:
     """Neighbor lookup for MV prediction during parse of one slice."""
 
@@ -91,10 +94,16 @@ class MvContext:
             return mvc.copy()
         if not ab and not ac and aa:
             return mva.copy()
-        va = mva if aa else np.zeros(2, np.int32)
-        vb = mvb if ab else np.zeros(2, np.int32)
-        vc = mvc if ac else np.zeros(2, np.int32)
-        return np.median(np.stack([va, vb, vc]), axis=0).astype(np.int32)
+        va = mva if aa else _ZMV
+        vb = mvb if ab else _ZMV
+        vc = mvc if ac else _ZMV
+        # median of three = sum - min - max, componentwise (scalar code:
+        # np.median measured ~40 us/call across a 720p B frame)
+        out = np.empty(2, np.int32)
+        for k in (0, 1):
+            x, y, z = int(va[k]), int(vb[k]), int(vc[k])
+            out[k] = x + y + z - min(x, y, z) - max(x, y, z)
+        return out
 
     def pred_skip_mv(self, gx: int, gy: int, cur_mb: int) -> np.ndarray:
         """P_Skip motion vector (§8.4.1.1)."""

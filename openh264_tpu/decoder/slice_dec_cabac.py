@@ -39,6 +39,33 @@ def ensure_cabac_state(fs):
         fs.gdirect = np.zeros((h4, w4), dtype=np.int8)
 
 
+# native residual decoder constants (cabac_residual.c)
+from .cabac import RANGE_LPS as _RL, STATE_TRANS as _STR
+_CRES_LPS = np.ascontiguousarray(_RL, np.int32)
+_CRES_TRANS = np.ascontiguousarray(_STR, np.int32)
+
+
+def _cres_params():
+    out = {}
+    for prop in (I16_DC, I16_AC, LUMA_4x4, CHROMA_DC, CHROMA_AC, LUMA_8x8):
+        n = MAX_POS[prop] + 1
+        if prop == LUMA_8x8:
+            mb, lb = CTX_MAP_8x8 + OFF_MAP[prop], CTX_LAST_8x8 + OFF_MAP[prop]
+            ob, ab = CTX_ONE_8x8 + OFF_ONE[prop], CTX_ABS_8x8 + OFF_ONE[prop]
+            is8 = 1
+        else:
+            mb, lb = CTX_MAP + OFF_MAP[prop], CTX_LAST + OFF_MAP[prop]
+            ob, ab = CTX_ONE + OFF_ONE[prop], CTX_ABS + OFF_ONE[prop]
+            is8 = 0
+        out[prop] = np.array([n, mb, lb, ob, ab, MAX_C2[prop], is8],
+                             np.int32)
+    return out
+
+
+_CRES_PARAMS = _cres_params()
+_CRES_PPTR = {k: v.ctypes.data for k, v in _CRES_PARAMS.items()}
+
+
 class CabacSliceDecoder:
     def __init__(self, ctx: SliceDecodeContext, rbsp: bytes, bitpos: int):
         self.ctx = ctx
@@ -51,6 +78,27 @@ class CabacSliceDecoder:
                                   self.sh.cabac_init_idc, int(qp))
         self.eng = CabacEngine(rbsp, bitpos)
         self.last_dqp = 0
+        # native residual-bin decoder (cabac_residual.c): shares the
+        # engine state + context arrays with the Python engine, so C
+        # and Python bins interleave freely within the slice
+        self._cres = None
+        from ..native import get_lib
+        lib = get_lib()
+        if lib is not None:
+            self._cres_data = np.frombuffer(rbsp, np.uint8)
+            self._cres_st = np.zeros(3, np.int64)
+            self._cres_sig = np.zeros(64, np.int32)
+            # ctypes pointer resolution costs ~1 us per array per call;
+            # resolve every address once for the slice
+            self._cres_fn = lib.cabac_residual
+            self._cres_pre = (self._cres_data.ctypes.data, self.eng.nbits,
+                              self._cres_st.ctypes.data,
+                              self.bctx.state.ctypes.data,
+                              self.bctx.mps.ctypes.data,
+                              _CRES_LPS.ctypes.data,
+                              _CRES_TRANS.ctypes.data)
+            self._cres_sig_ptr = self._cres_sig.ctypes.data
+            self._cres = True
 
     # --- neighbor helpers -------------------------------------------------
     def _mb_xy(self, mb_idx):
@@ -406,8 +454,25 @@ class CabacSliceDecoder:
             fs.cbf_dc[mb_idx] |= 1 << dc_bit
         return bit
 
+    def _residual_levels_native(self, prop):
+        eng = self.eng
+        st = self._cres_st
+        st[0] = eng.pos
+        st[1] = eng.range
+        st[2] = eng.offset
+        ncoef = self._cres_fn(*self._cres_pre, _CRES_PPTR[prop],
+                              self._cres_sig_ptr)
+        if ncoef < 0:
+            raise ValueError("runaway exp-golomb in CABAC")
+        eng.pos = int(st[0])
+        eng.range = int(st[1])
+        eng.offset = int(st[2])
+        return self._cres_sig[:MAX_POS[prop] + 1].copy(), ncoef
+
     def residual_levels(self, prop) -> np.ndarray:
         """Sig map + levels; returns int32[maxpos+1] in scan order."""
+        if self._cres is not None:
+            return self._residual_levels_native(prop)
         eng, bctx = self.eng, self.bctx
         n = MAX_POS[prop] + 1
         sig = np.zeros(n, dtype=np.int32)

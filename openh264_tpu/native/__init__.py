@@ -18,7 +18,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_HERE, "codec_native.c"),
          os.path.join(_HERE, "parse_cavlc.c"),
          os.path.join(_HERE, "recon_intra.c"),
-         os.path.join(_HERE, "enc_intra.c")]
+         os.path.join(_HERE, "enc_intra.c"),
+         os.path.join(_HERE, "cabac_residual.c")]
 
 _lib = None
 
@@ -69,6 +70,9 @@ def get_lib():
         lib.recon_intra_mbs.argtypes = [ctypes.c_void_p] * 2
         lib.enc_intra_frame.restype = None
         lib.enc_intra_frame.argtypes = [ctypes.c_void_p] * 2
+        lib.cabac_residual.restype = ctypes.c_int
+        lib.cabac_residual.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong] + [ctypes.c_void_p] * 7
         _lib = lib
     return _lib if _lib else None
 

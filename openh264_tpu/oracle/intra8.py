@@ -149,61 +149,39 @@ def wrap16(x):
     return ((int(x) + 0x8000) & 0xFFFF) - 0x8000
 
 
+def _idct8_butterfly(m: np.ndarray) -> np.ndarray:
+    """One 1-D pass of the 8x8 inverse transform over all 8 vectors at
+    once (rows of m); int16 wrap after every op like the scalar code."""
+    def W(a):
+        return ((a + 0x8000) & 0xFFFF) - 0x8000
+    p = [m[:, k] for k in range(8)]
+    a0 = W(p[0] + p[4])
+    a1 = W(p[0] - p[4])
+    a2 = W(p[6] - (p[2] >> 1))
+    a3 = W(p[2] + (p[6] >> 1))
+    b0 = W(a0 + a3)
+    b2 = W(a1 - a2)
+    b4 = W(a1 + a2)
+    b6 = W(a0 - a3)
+    a0 = W(-p[3] + p[5] - p[7] - (p[7] >> 1))
+    a1 = W(p[1] + p[7] - p[3] - (p[3] >> 1))
+    a2 = W(-p[1] + p[7] + p[5] + (p[5] >> 1))
+    a3 = W(p[3] + p[5] + p[1] + (p[1] >> 1))
+    b1 = W(a0 + (a3 >> 2))
+    b3 = W(a1 + (a2 >> 2))
+    b5 = W(a2 - (a1 >> 2))
+    b7 = W(a3 - (a0 >> 2))
+    return np.stack([W(b0 + b7), W(b2 - b5), W(b4 + b3), W(b6 + b1),
+                     W(b6 - b1), W(b4 - b3), W(b2 + b5), W(b0 - b7)], 1)
+
+
 def idct8x8_add(pred: np.ndarray, coef: np.ndarray) -> np.ndarray:
     """8x8 inverse transform + add (parity: IdctResAddPred8x8_c,
-    decoder decode_mb_aux.cpp:80 — int16 intermediates wrap)."""
+    decoder decode_mb_aux.cpp:80 — int16 intermediates wrap).
+    Vectorized 1-D passes (the scalar loop measured ~140 us/block on
+    High-profile 720p content)."""
     rs = coef.reshape(8, 8).astype(np.int64)
-
-    def w16(a):
-        return ((a + 0x8000) & 0xFFFF) - 0x8000
-
-    tmp = np.zeros((8, 8), np.int64)
-    for i in range(8):
-        pr = rs[i]
-        a0 = w16(pr[0] + pr[4])
-        a1 = w16(pr[0] - pr[4])
-        a2 = w16(pr[6] - (pr[2] >> 1))
-        a3 = w16(pr[2] + (pr[6] >> 1))
-        b0 = w16(a0 + a3)
-        b2 = w16(a1 - a2)
-        b4 = w16(a1 + a2)
-        b6 = w16(a0 - a3)
-        a0 = w16(-pr[3] + pr[5] - pr[7] - (pr[7] >> 1))
-        a1 = w16(pr[1] + pr[7] - pr[3] - (pr[3] >> 1))
-        a2 = w16(-pr[1] + pr[7] + pr[5] + (pr[5] >> 1))
-        a3 = w16(pr[3] + pr[5] + pr[1] + (pr[1] >> 1))
-        b1 = w16(a0 + (a3 >> 2))
-        b3 = w16(a1 + (a2 >> 2))
-        b5 = w16(a2 - (a1 >> 2))
-        b7 = w16(a3 - (a0 >> 2))
-        tmp[i] = [w16(b0 + b7), w16(b2 - b5), w16(b4 + b3), w16(b6 + b1),
-                  w16(b6 - b1), w16(b4 - b3), w16(b2 + b5), w16(b0 - b7)]
-    res = np.zeros((8, 8), np.int64)
-    for i in range(8):
-        pc = tmp[:, i]
-        a0 = w16(pc[0] + pc[4])
-        a1 = w16(pc[0] - pc[4])
-        a2 = w16(pc[6] - (pc[2] >> 1))
-        a3 = w16(pc[2] + (pc[6] >> 1))
-        b0 = w16(a0 + a3)
-        b2 = w16(a1 - a2)
-        b4 = w16(a1 + a2)
-        b6 = w16(a0 - a3)
-        a0 = w16(-pc[3] + pc[5] - pc[7] - (pc[7] >> 1))
-        a1 = w16(pc[1] + pc[7] - pc[3] - (pc[3] >> 1))
-        a2 = w16(-pc[1] + pc[7] + pc[5] + (pc[5] >> 1))
-        a3 = w16(pc[3] + pc[5] + pc[1] + (pc[1] >> 1))
-        b1 = w16(a0 + (a3 >> 2))
-        b3 = w16(a1 + (a2 >> 2))
-        b5 = w16(a2 - (a1 >> 2))
-        b7 = w16(a3 - (a0 >> 2))
-        res[0, i] = w16(b0 + b7)
-        res[1, i] = w16(b2 - b5)
-        res[2, i] = w16(b4 + b3)
-        res[3, i] = w16(b6 + b1)
-        res[4, i] = w16(b6 - b1)
-        res[5, i] = w16(b4 - b3)
-        res[6, i] = w16(b2 + b5)
-        res[7, i] = w16(b0 - b7)
-    out = pred.astype(np.int64) + ((32 + res) >> 6)
+    tmp = _idct8_butterfly(rs)                 # row pass
+    res = _idct8_butterfly(tmp.T)              # column pass
+    out = pred.astype(np.int64) + ((32 + res.T) >> 6)
     return np.clip(out, 0, 255).astype(np.uint8)
