@@ -59,6 +59,13 @@ class CWelsH264SVCEncoder:
             deblock_idc=p.iLoopFilterDisableIdc,
             temporal_layers=max(1, p.iTemporalLayerNum),
             num_slices=self._slice_count(p),
+            enable_ltr=bool(getattr(p, "bEnableLongTermReference", False)),
+            ltr_ref_num=max(1, int(getattr(p, "iLTRRefNum", 1) or 1)),
+            # reference parity: I4x4 is always in the intra MD toolbox
+            # (CAVLC single-slice host path) and the SPS carries VUI
+            enable_i4x4=(not p.iEntropyCodingModeFlag
+                         and self._slice_count(p) == 1),
+            enable_vui=True,
         )
         self._enc = H264Encoder(cfg)
         self._stats = SEncoderStatistics(uiWidth=p.iPicWidth,

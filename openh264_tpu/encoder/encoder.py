@@ -46,6 +46,9 @@ class EncoderConfig:
     # per-MB I16x16-vs-I4x4 mode decision on I frames (native C
     # sequential wavefront, enc_intra.c; CAVLC single-slice host path)
     enable_i4x4: bool = False
+    # write VUI parameters into the SPS (timing + bitstream
+    # restriction; au_set.cpp:197 WelsWriteVUI)
+    enable_vui: bool = False
     num_slices: int = 1  # SM_FIXEDSLCNUM analog: N slices/frame
     enable_adaptive_quant: bool = False   # VAA-driven per-MB delta QP
     enable_scene_change_detect: bool = False  # SCD -> IDR decision

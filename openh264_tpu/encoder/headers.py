@@ -39,9 +39,38 @@ def write_sps(cfg) -> bytes:
         w.ue(crop_b // 2)
     else:
         w.flag(False)
-    w.flag(False)                    # vui_parameters_present
+    if getattr(cfg, 'enable_vui', False):
+        w.flag(True)                 # vui_parameters_present
+        _write_vui(w, cfg)
+    else:
+        w.flag(False)                # vui_parameters_present
     w.rbsp_trailing_bits()
     return w.get_bytes()
+
+
+def _write_vui(w: BitWriter, cfg) -> None:
+    """VUI parameters (spec E.1.1; parity: au_set.cpp:197
+    WelsWriteVUI): timing info from the configured frame rate plus the
+    bitstream-restriction block the reference emits."""
+    w.flag(False)                    # aspect_ratio_info_present
+    w.flag(False)                    # overscan_info_present
+    w.flag(False)                    # video_signal_type_present
+    w.flag(False)                    # chroma_loc_info_present
+    w.flag(True)                     # timing_info_present
+    w.u(32, 1)                       # num_units_in_tick
+    w.u(32, max(2, int(round(2 * cfg.max_frame_rate))))  # time_scale
+    w.flag(False)                    # fixed_frame_rate_flag
+    w.flag(False)                    # nal_hrd_parameters_present
+    w.flag(False)                    # vcl_hrd_parameters_present
+    w.flag(False)                    # pic_struct_present
+    w.flag(True)                     # bitstream_restriction
+    w.flag(True)                     # motion_vectors_over_pic_boundaries
+    w.ue(0)                          # max_bytes_per_pic_denom
+    w.ue(0)                          # max_bits_per_mb_denom
+    w.ue(16)                         # log2_max_mv_length_horizontal
+    w.ue(16)                         # log2_max_mv_length_vertical
+    w.ue(0)                          # max_num_reorder_frames (IPPP)
+    w.ue(cfg.num_ref_frames)         # max_dec_frame_buffering
 
 
 def write_pps(cfg) -> bytes:

@@ -68,8 +68,16 @@ def test_decoder_api_roundtrip():
     bs = b"".join(enc.EncodeFrame(*f) for f in _frames(4))
     dec = WelsCreateDecoder()
     dec.Initialize()
-    state, frames = dec.DecodeFrameNoDelay(bs)
+    # fragmented feeding: odd-sized chunks, then EOS flush (the
+    # reference's DecodeFrame2(NULL) end-of-stream call)
+    frames = []
+    for i in range(0, len(bs), 777):
+        state, fr = dec.DecodeFrameNoDelay(bs[i:i + 777])
+        assert state == DECODING_STATE.dsErrorFree
+        frames += fr
+    state, fr = dec.FlushFrame()
     assert state == DECODING_STATE.dsErrorFree
+    frames += fr
     assert len(frames) == 4
     st = dec.GetOption(12)  # DECODER_OPTION.GET_STATISTICS
     assert st.uiDecodedFrameCount == 4
@@ -199,3 +207,54 @@ def test_simulcast_layers_decode():
         frames = H264Decoder().decode_annexb(b"".join(o[k] for o in outs))
         assert len(frames) == 2
         assert frames[0].y.shape == (h, w)
+
+
+def test_vui_roundtrip():
+    """SPS VUI (timing + bitstream restriction, au_set.cpp:197
+    WelsWriteVUI) must parse on our decoder and not perturb decode."""
+    import numpy as np
+    from openh264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+    from openh264_tpu.decoder import H264Decoder
+    rng = np.random.default_rng(5)
+    W, H = 64, 48
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=30,
+                                    enable_vui=True, max_frame_rate=25.0))
+    fr = [(rng.integers(0, 256, (H, W), np.uint8),
+           rng.integers(0, 256, (H // 2, W // 2), np.uint8),
+           rng.integers(0, 256, (H // 2, W // 2), np.uint8))
+          for _ in range(2)]
+    bs = b"".join(enc.encode_frame(*f) for f in fr)
+    frames = H264Decoder().decode_annexb(bs)
+    assert len(frames) == 2
+    assert np.array_equal(frames[-1].y, enc.dpb[-1].planes[0])
+
+
+def test_dynamic_resolution_change():
+    """Mid-stream resolution change via SetOption(SVC_ENCODE_PARAM_EXT)
+    re-init (welsEncoderExt.cpp SetOption dispatch): the decoder must
+    follow the new SPS."""
+    import numpy as np
+    from openh264_tpu.api.encoder_api import WelsCreateSVCEncoder
+    from openh264_tpu.api.params import SEncParamExt
+    from openh264_tpu.api.options import ENCODER_OPTION
+    from openh264_tpu.decoder import H264Decoder
+    rng = np.random.default_rng(6)
+
+    def frames(w, h, n):
+        return [(rng.integers(0, 256, (h, w), np.uint8),
+                 rng.integers(0, 256, (h // 2, w // 2), np.uint8),
+                 rng.integers(0, 256, (h // 2, w // 2), np.uint8))
+                for _ in range(n)]
+
+    api = WelsCreateSVCEncoder()
+    assert api.InitializeExt(SEncParamExt(iPicWidth=64, iPicHeight=48,
+                                          iRCMode=-1)) == 0
+    bs = b"".join(api.EncodeFrame(*f) for f in frames(64, 48, 2))
+    assert api.SetOption(ENCODER_OPTION.SVC_ENCODE_PARAM_EXT,
+                         SEncParamExt(iPicWidth=96, iPicHeight=80,
+                                      iRCMode=-1)) == 0
+    bs += b"".join(api.EncodeFrame(*f) for f in frames(96, 80, 2))
+    out = H264Decoder().decode_annexb(bs)
+    assert len(out) == 4
+    assert out[0].y.shape == (48, 64)
+    assert out[-1].y.shape == (80, 96)
