@@ -31,6 +31,8 @@ class CWelsH264SVCEncoder:
         self._force_idr = False
         self._t_total = 0.0
         self._qp_sum = 0
+        self._psnr_sum = [0.0, 0.0, 0.0]
+        self._psnr_n = 0
 
     # ------------------------------------------------------------------
     def Initialize(self, p: SEncParamBase) -> int:
@@ -114,6 +116,19 @@ class CWelsH264SVCEncoder:
         st.iTotalEncodedBytes += len(bs)
         self._qp_sum += self._enc.qp
         st.uiAverageFrameQP = self._qp_sum / st.uiInputFrameCount
+        if bs and self._enc.dpb and \
+                self._enc.dpb[-1].coding_idx == self._enc.coding_idx - 1:
+            # per-frame PSNR of the encoder's reconstruction vs input
+            # (encoder_ext.cpp:3918-3940; WelsCalcPsnr, utils.cpp:43)
+            from ..utils.psnr import calc_psnr
+            ry, ru, rv = self._enc.dpb[-1].planes
+            self._psnr_sum[0] += calc_psnr(y, ry[:y.shape[0], :y.shape[1]])
+            self._psnr_sum[1] += calc_psnr(u, ru[:u.shape[0], :u.shape[1]])
+            self._psnr_sum[2] += calc_psnr(v, rv[:v.shape[0], :v.shape[1]])
+            self._psnr_n += 1
+            st.fAveragePsnrY = self._psnr_sum[0] / self._psnr_n
+            st.fAveragePsnrU = self._psnr_sum[1] / self._psnr_n
+            st.fAveragePsnrV = self._psnr_sum[2] / self._psnr_n
         return bs
 
     def EncodeParameterSets(self) -> bytes:

@@ -144,6 +144,11 @@ class SEncoderStatistics:
     uiLTRSentNum: int = 0
     iTotalEncodedBytes: int = 0
     iStatisticsTs: int = 0
+    # per-sequence average PSNR of the reconstructed frames vs input
+    # (codec_app_def.h:595-597 frame PSNR / utils.cpp:43 WelsCalcPsnr)
+    fAveragePsnrY: float = 0.0
+    fAveragePsnrU: float = 0.0
+    fAveragePsnrV: float = 0.0
 
 
 @dataclass

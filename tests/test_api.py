@@ -258,3 +258,16 @@ def test_dynamic_resolution_change():
     assert len(out) == 4
     assert out[0].y.shape == (48, 64)
     assert out[-1].y.shape == (80, 96)
+
+
+def test_encoder_psnr_stats():
+    """GET_STATISTICS must report per-sequence recon PSNR
+    (encoder_ext.cpp:3918-3940 / WelsCalcPsnr)."""
+    enc = WelsCreateSVCEncoder()
+    enc.InitializeExt(SEncParamExt(iPicWidth=W, iPicHeight=H, iRCMode=-1,
+                                   iInitialQp=26))
+    for f in _frames(3):
+        enc.EncodeFrame(*f)
+    st = enc.GetOption(28)  # ENCODER_OPTION.GET_STATISTICS
+    assert 25.0 < st.fAveragePsnrY < 99.0
+    assert 25.0 < st.fAveragePsnrU < 99.0
