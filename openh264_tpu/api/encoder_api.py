@@ -68,11 +68,22 @@ class CWelsH264SVCEncoder:
             enable_i4x4=(not p.iEntropyCodingModeFlag
                          and self._slice_count(p) == 1),
             enable_vui=True,
+            slice_size_constraint=self._slice_size_constraint(p),
         )
         self._enc = H264Encoder(cfg)
         self._stats = SEncoderStatistics(uiWidth=p.iPicWidth,
                                          uiHeight=p.iPicHeight)
         return cmResultSuccess
+
+    @staticmethod
+    def _slice_size_constraint(p) -> int:
+        """SM_SIZELIMITED_SLICE (uiSliceMode 4): bytes per slice."""
+        if not p.sSpatialLayers:
+            return 0
+        sl = getattr(p.sSpatialLayers[0], "sSliceArgument", None)
+        if sl is None or sl.uiSliceMode != 4:
+            return 0
+        return max(0, int(getattr(sl, "uiSliceSizeConstraint", 0)))
 
     @staticmethod
     def _slice_count(p) -> int:
@@ -85,7 +96,7 @@ class CWelsH264SVCEncoder:
         mode = getattr(sl, "sSliceArgument", None)
         if mode is None:
             return 1
-        if mode.uiSliceMode == 0:
+        if mode.uiSliceMode in (0, 4):   # single / size-limited
             return 1
         return max(1, int(mode.uiSliceNum))
 

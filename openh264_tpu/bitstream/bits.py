@@ -135,6 +135,10 @@ class BitWriter:
         self._acc = 0  # bit accumulator (left-aligned semantics via _accbits)
         self._accbits = 0
 
+    def bit_length(self) -> int:
+        """Bits written so far (size-limited slicing checks this)."""
+        return 8 * sum(len(c) for c in self._chunks) + self._accbits
+
     def u(self, n: int, v: int) -> None:
         if n == 0:
             return

@@ -50,6 +50,10 @@ class EncoderConfig:
     # restriction; au_set.cpp:197 WelsWriteVUI)
     enable_vui: bool = False
     num_slices: int = 1  # SM_FIXEDSLCNUM analog: N slices/frame
+    # SM_SIZELIMITED analog (codec_app_def.h:342): when > 0, each slice
+    # closes once its payload reaches this many bytes (dynamic,
+    # data-dependent slicing — host scalar writer path)
+    slice_size_constraint: int = 0
     enable_adaptive_quant: bool = False   # VAA-driven per-MB delta QP
     enable_scene_change_detect: bool = False  # SCD -> IDR decision
     enable_gom_rc: bool = False           # per-MB-row (GOM) QP offsets
@@ -301,6 +305,9 @@ class H264Encoder:
         is_ref = is_idr or cfg.temporal_layers <= 1 or \
             tid < cfg.temporal_layers - 1
 
+        if cfg.slice_size_constraint > 0:
+            return self._encode_frame_sizelimited(yp, up, vp, is_idr, tid,
+                                                  is_ref)
         if cfg.num_slices > 1:
             return self._encode_frame_multislice(yp, up, vp, is_idr, tid,
                                                  is_ref)
@@ -453,6 +460,179 @@ class H264Encoder:
         return bs
 
     # ------------------------------------------------------------------
+    def _encode_frame_sizelimited(self, yp, up, vp, is_idr, tid, is_ref):
+        """SM_SIZELIMITED dynamic slicing (WelsCodeOnePicPartition,
+        encoder_ext.cpp:4534): a slice closes as soon as its written
+        payload reaches cfg.slice_size_constraint bytes. Deviation from
+        the reference, kept deliberate: the boundary check runs AFTER a
+        macroblock is written (bounded one-MB overshoot) instead of the
+        step-back re-encode of DynSlcJudgeSliceBoundaryStepBack:1741.
+        Intra-in-P is disabled (slice boundaries are data-dependent, so
+        intra availability cannot be pre-baked into the batched core)."""
+        cfg = self.cfg
+        from . import core_jax
+        from ..decoder.framedata import ZSCAN_TO_RASTER
+        from ..tables.cavlc import CBP_INTER_INV
+        mb_w, mb_h = cfg.mb_width, cfg.mb_height
+        n_mb = mb_w * mb_h
+        limit_bits = cfg.slice_size_constraint * 8
+        reorder = reorder_lt = None
+        idr_bands = None
+        if is_idr:
+            self.frame_num = 0
+            self.coding_idx = 0
+            self.dpb.clear()
+            # Intra availability must equal the decoder's slice-local
+            # view, but the boundaries are data-dependent. Two passes:
+            # a probe pass over a frame-wide core finds row-aligned
+            # boundaries by size, then each slice re-encodes as its own
+            # band (top of a band unavailable == slice boundary) so
+            # symbols, recon and decode agree exactly. Slice sizes may
+            # drift slightly from the probe (same trade the reference
+            # makes in the other direction with its re-encode loop).
+            probe = core_jax.encode_i_frame(yp, up, vp, self.qp,
+                                            self.qp_c, mb_w=mb_w,
+                                            mb_h=mb_h)
+            probe = {k: np.asarray(v) for k, v in probe.items()}
+            idr_bands = []
+            r0 = 0
+            w = BitWriter()
+            nc = _NcTracker(mb_w, mb_h)
+            for r in range(mb_h):
+                for i in range(mb_w):
+                    self._write_i16_mb(w, probe, r * mb_w + i, nc,
+                                       p_slice=False)
+                if w.bit_length() >= limit_bits and r + 1 < mb_h:
+                    idr_bands.append((r0, r + 1))
+                    r0 = r + 1
+                    w = BitWriter()
+                    nc = _NcTracker(mb_w, mb_h)
+            idr_bands.append((r0, mb_h))
+            outs = []
+            for (r0, r1) in idr_bands:
+                o = core_jax.encode_i_frame(
+                    yp[r0 * 16:r1 * 16], up[r0 * 8:r1 * 8],
+                    vp[r0 * 8:r1 * 8], self.qp, self.qp_c,
+                    mb_w=mb_w, mb_h=r1 - r0)
+                outs.append({k: np.asarray(a) for k, a in o.items()})
+            out = {k: np.concatenate([o[k] for o in outs])
+                   for k in outs[0]}
+            prefix = self.headers_annexb()
+        else:
+            ref = self._pick_ref(tid)
+            reorder, reorder_lt = self._reorder_for(ref)
+            ry, ru, rv = ref.planes
+            out = core_jax.encode_p_frame(
+                yp, up, vp, ry, ru, rv, self.qp, self.qp_c,
+                mb_w=mb_w, mb_h=mb_h, sr=cfg.search_range)
+            prefix = b""
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if not is_idr:
+            out["intra_mask"] = np.zeros(n_mb, bool)
+
+        idr_cuts = (set(r1 * mb_w for _r0, r1 in idr_bands[:-1])
+                    if idr_bands else set())
+        wfs = FrameSymbols(mb_w, mb_h)
+        wfs.slice_id[:] = -1
+        nals = []
+        mb = 0
+        sidx = 0
+        while mb < n_mb:
+            w = BitWriter()
+            write_slice_header(
+                w, cfg, 2 if is_idr else 0, self.frame_num, mb, self.qp,
+                is_idr, self.idr_pic_id, disable_deblock=cfg.deblock_idc,
+                is_ref=is_ref, reorder_abs_diff=reorder,
+                reorder_long_term=reorder_lt)
+            nc = _NcTracker(mb_w, mb_h)   # fresh: prior slices unavailable
+            mvc = MvContext(wfs, sidx)
+            skip_run = 0
+            while mb < n_mb:
+                wfs.slice_id[mb] = sidx
+                mbx, mby = mb % mb_w, mb // mb_w
+                gx, gy = mbx * 4, mby * 4
+                if is_idr:
+                    self._write_i16_mb(w, out, mb, nc, p_slice=False)
+                else:
+                    wfs.gwritten[gy:gy + 4, gx:gx + 4] = False
+                    mv = out["mv"][mb].astype(np.int32)
+                    luma_ac = out["luma_ac"][mb]
+                    cbp_luma = 0
+                    for b8 in range(4):
+                        blocks = [(b8 // 2) * 8 + (b8 % 2) * 2
+                                  + (i // 2) * 4 + (i % 2) for i in range(4)]
+                        if luma_ac[blocks].any():
+                            cbp_luma |= 1 << b8
+                    cac = out["chroma_ac"][mb]
+                    cdc = out["chroma_dc"][mb]
+                    cbp_chroma = 2 if cac.any() else (1 if cdc.any() else 0)
+                    cbp = cbp_luma | (cbp_chroma << 4)
+                    skip_mv = mvc.pred_skip_mv(gx, gy, mb)
+                    if cbp == 0 and mv[0] == skip_mv[0] and \
+                            mv[1] == skip_mv[1]:
+                        skip_run += 1
+                        mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+                        nc.nzc_l[gy:gy + 4, gx:gx + 4] = 0
+                        nc.nzc_c[:, mby * 2:mby * 2 + 2,
+                                 mbx * 2:mbx * 2 + 2] = 0
+                        mb += 1
+                        continue
+                    w.ue(skip_run)
+                    skip_run = 0
+                    w.ue(0)                     # P_L0_16x16
+                    mvp = mvc.pred_mv(gx, gy, 4, 4, 0, 0, mb)
+                    w.se(int(mv[0] - mvp[0]))
+                    w.se(int(mv[1] - mvp[1]))
+                    mvc.set_partition(gx, gy, 4, 4, 0, 0, mv)
+                    w.ue(int(CBP_INTER_INV[cbp]))
+                    if cbp:
+                        w.se(0)                 # mb_qp_delta
+                    for k in range(16):
+                        r = int(ZSCAN_TO_RASTER[k])
+                        bx, by = r % 4, r // 4
+                        b8 = (by >> 1) * 2 + (bx >> 1)
+                        if cbp_luma & (1 << b8):
+                            tc = write_residual_block(
+                                w, luma_ac[r][ZIGZAG_4x4],
+                                nc.nc_luma(gx + bx, gy + by), 16)
+                        else:
+                            tc = 0
+                        nc.nzc_l[gy + by, gx + bx] = tc
+                    self._write_chroma_residual(w, out, mb, nc, cbp_chroma)
+                mb += 1
+                if is_idr:
+                    if mb in idr_cuts:
+                        break
+                elif w.bit_length() >= limit_bits and mb < n_mb:
+                    break
+            if not is_idr and skip_run:
+                w.ue(skip_run)
+            w.rbsp_trailing_bits()
+            nals.append(make_annexb_nal(
+                3 if is_idr else (2 if is_ref else 0),
+                NAL_IDR if is_idr else NAL_SLICE, w.get_bytes()))
+            sidx += 1
+        if is_idr:
+            self.idr_pic_id = (self.idr_pic_id + 1) % 16
+
+        fs = (self._frame_symbols_i(out) if is_idr
+              else self._frame_symbols_p(out))
+        fs.slice_id[:] = wfs.slice_id
+        recon = _Planes(np.array(out["recon_y"]), np.array(out["recon_u"]),
+                        np.array(out["recon_v"]))
+        if cfg.deblock_idc != 1:
+            deblock_frame(recon, fs)
+        if is_ref:
+            self.dpb.append(_RefEntry(self.frame_num, self.coding_idx, tid,
+                                      (recon.y, recon.u, recon.v)))
+            self._slide_window()
+            self.frame_num = (self.frame_num + 1) % \
+                (1 << cfg.log2_max_frame_num)
+        self.coding_idx += 1
+        bs = prefix + b"".join(nals)
+        self.rc.update(8 * len(bs), self.qp, is_idr)
+        return bs
+
     def _frame_symbols_i(self, out) -> FrameSymbols:
         from ..decoder.framedata import MB_I4x4
         cfg = self.cfg

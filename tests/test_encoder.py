@@ -284,3 +284,47 @@ def test_rc_aq_bitrate_window():
         D.recon_frame = orig
     assert any(len(qs) > 1 for qs in qp_sets[1:]), \
         "adaptive quant produced no per-MB QP variation"
+
+
+def test_sizelimited_slicing():
+    """SM_SIZELIMITED (svc_encode_slice.cpp dynamic slicing): slices
+    close around the byte constraint, the stream stays closed-loop and
+    decodes bit-exact on the reference decoder when present."""
+    import os
+    import subprocess
+    from openh264_tpu.encoder.encoder import EncoderConfig, H264Encoder
+    from openh264_tpu.decoder import H264Decoder
+    from openh264_tpu.bitstream import split_annexb
+    yuv = '/root/reference/res/CiscoVT2people_160x96_6fps.yuv'
+    W, H = 160, 96
+    raw = open(yuv, 'rb').read()
+    fsz = W * H * 3 // 2
+    fr = []
+    for i in range(3):
+        f = raw[i * fsz:(i + 1) * fsz]
+        fr.append((np.frombuffer(f[:W * H], np.uint8).reshape(H, W),
+                   np.frombuffer(f[W * H:W * H * 5 // 4],
+                                 np.uint8).reshape(H // 2, W // 2),
+                   np.frombuffer(f[W * H * 5 // 4:],
+                                 np.uint8).reshape(H // 2, W // 2)))
+    enc = H264Encoder(EncoderConfig(width=W, height=H, qp=28,
+                                    slice_size_constraint=600))
+    bs = b"".join(enc.encode_frame(*f) for f in fr)
+    sizes = [len(x.rbsp) for x in split_annexb(bs)
+             if x.nal_unit_type in (1, 5)]
+    assert len(sizes) > 3, "constraint should force multiple slices"
+    # P slices overshoot by at most one MB; IDR bands by probe drift
+    assert max(sizes) < 4 * 600, sizes
+    ours = H264Decoder().decode_annexb(bs)
+    assert len(ours) == 3
+    assert np.array_equal(ours[-1].y, enc.dpb[-1].planes[0])
+    dec = os.path.join(os.path.dirname(__file__), '..', '.ref_build',
+                       'src', 'h264dec')
+    if os.path.exists(dec):
+        open('/tmp/_szl_t.264', 'wb').write(bs)
+        subprocess.run([dec, '/tmp/_szl_t.264', '/tmp/_szl_t.yuv'],
+                       capture_output=True, timeout=60)
+        ref = open('/tmp/_szl_t.yuv', 'rb').read()
+        got = b"".join(f.y.tobytes() + f.u.tobytes() + f.v.tobytes()
+                       for f in ours)
+        assert ref == got
