@@ -55,6 +55,7 @@ class CWelsH264SVCEncoder:
             num_ref_frames=max(1, p.iNumRefFrame),
             rc_mode=p.iRCMode,
             target_bitrate=p.iTargetBitrate,
+            max_bitrate=max(0, int(getattr(p, "iMaxBitrate", 0) or 0)),
             max_frame_rate=p.fMaxFrameRate,
             max_qp=p.iMaxQp, min_qp=p.iMinQp,
             enable_frame_skip=p.bEnableFrameSkip,
@@ -177,6 +178,9 @@ class CWelsH264SVCEncoder:
             e.reconfigure_rc()
         elif eOptionId == ENCODER_OPTION.RC_MODE:
             e.cfg.rc_mode = int(value)
+            e.reconfigure_rc()
+        elif eOptionId == ENCODER_OPTION.MAX_BITRATE:
+            e.cfg.max_bitrate = int(value)
             e.reconfigure_rc()
         elif eOptionId == ENCODER_OPTION.RC_FRAME_SKIP:
             e.cfg.enable_frame_skip = bool(value)

@@ -61,6 +61,7 @@ class EncoderConfig:
     # rate control (codec_app_def.h RC_MODES; -1 = off / constant QP)
     rc_mode: int = -1
     target_bitrate: int = 5_000_000   # bits/s
+    max_bitrate: int = 0              # iMaxBitrate 1s-window cap (0 = off)
     max_frame_rate: float = 30.0
     max_qp: int = 51
     min_qp: int = 0
@@ -248,7 +249,8 @@ class H264Encoder:
                               cfg.max_frame_rate, self.qp,
                               cfg.min_qp, cfg.max_qp, cfg.enable_frame_skip,
                               n_pixels=cfg.width * cfg.height,
-                              honor_init_qp=cfg.rc_honor_init_qp)
+                              honor_init_qp=cfg.rc_honor_init_qp,
+                              max_bitrate=cfg.max_bitrate)
 
     def force_idr(self):
         self._force_idr = True

@@ -49,11 +49,17 @@ class RateControl:
     def __init__(self, mode: int, target_bitrate: float, fps: float,
                  init_qp: int, min_qp: int = 0, max_qp: int = 51,
                  enable_skip: bool = True, idr_ratio: float = _IDR_RATIO,
-                 n_pixels: int = 0, honor_init_qp: bool = False):
+                 n_pixels: int = 0, honor_init_qp: bool = False,
+                 max_bitrate: float = 0):
         self.mode = mode
         self.fps = max(1.0, fps)
         self.bits_per_frame = max(1.0, target_bitrate / self.fps)
         self.buffer_size = target_bitrate * 1.0  # 1s leaky bucket
+        # iMaxBitrate hard ceiling over a one-second sliding window
+        # (ratectl.cpp CheckFrameSkipBasedMaxbr / max-br window checks)
+        self.max_bitrate = max(0.0, float(max_bitrate or 0))
+        from collections import deque
+        self._win = deque(maxlen=max(1, int(round(self.fps))))
         self.min_qp, self.max_qp = min_qp, max_qp
         self.enable_skip = enable_skip and mode in (RC_BITRATE_MODE,
                                                     RC_BUFFERBASED_MODE,
@@ -83,10 +89,14 @@ class RateControl:
 
     def should_skip(self) -> bool:
         """Leaky-bucket skip decision (reference: frame-skip when the
-        virtual buffer would overflow, ratectl.cpp skip path)."""
+        virtual buffer would overflow, ratectl.cpp skip path), plus the
+        max-bitrate sliding-window check."""
         if not self.enable_skip:
             return False
-        return self.st.buffer_fullness > _SKIP_FULLNESS * self.buffer_size
+        if self.st.buffer_fullness > _SKIP_FULLNESS * self.buffer_size:
+            return True
+        return (self.max_bitrate > 0
+                and sum(self._win) > self.max_bitrate)
 
     def frame_qp(self, is_idr: bool, temporal_id: int = 0) -> int:
         """QP for the next frame."""
@@ -100,6 +110,12 @@ class RateControl:
             # drain pressure: spend less when the bucket is filling
             pressure = st.buffer_fullness / max(1.0, self.buffer_size)
             target *= max(0.2, 1.0 - 1.5 * pressure)
+            if self.max_bitrate > 0:
+                # shrink the frame budget as the 1 s window nears the
+                # hard ceiling so QP rises before skipping kicks in
+                wfrac = sum(self._win) / self.max_bitrate
+                if wfrac > 0.75:
+                    target *= max(0.2, 1.0 - 2.0 * (wfrac - 0.75))
             want_qstep = st.model_x / max(1.0, target)
             want_qp = 6.0 * math.log2(max(1e-3, want_qstep / 0.625))
             # asymmetric bounds: raise QP fast (overshoot recovery),
@@ -120,6 +136,7 @@ class RateControl:
         (pfWelsRcPictureInfoUpdate role)."""
         st = self.st
         st.frames += 1
+        self._win.append(bits)
         if self.mode == RC_OFF_MODE:
             return
         st.qp = qp_used
@@ -136,3 +153,4 @@ class RateControl:
         """Account a skipped frame (buffer drains one interval)."""
         self.st.buffer_fullness = max(
             0.0, self.st.buffer_fullness - self.bits_per_frame)
+        self._win.append(0)

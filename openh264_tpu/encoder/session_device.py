@@ -312,7 +312,8 @@ class DeviceSessionEncoder:
                                   cfg.min_qp, cfg.max_qp,
                                   cfg.enable_frame_skip,
                                   n_pixels=cfg.width * cfg.height,
-                                  honor_init_qp=cfg.rc_honor_init_qp)
+                                  honor_init_qp=cfg.rc_honor_init_qp,
+                                  max_bitrate=cfg.max_bitrate)
         self.fetch_batch = fetch_batch
         self.max_body_bytes = max_body_bytes
         # adaptive download window: bodies are usually a few KB while

@@ -271,3 +271,23 @@ def test_encoder_psnr_stats():
     st = enc.GetOption(28)  # ENCODER_OPTION.GET_STATISTICS
     assert 25.0 < st.fAveragePsnrY < 99.0
     assert 25.0 < st.fAveragePsnrU < 99.0
+
+
+def test_max_bitrate_window():
+    """iMaxBitrate caps the 1 s sliding window (ratectl.cpp max-br
+    checks): with a loose target but a tight ceiling, the produced
+    window bitrate must respect the ceiling via QP pressure + skips."""
+    enc = WelsCreateSVCEncoder()
+    enc.InitializeExt(SEncParamExt(iPicWidth=W, iPicHeight=H,
+                                   iRCMode=RC_BITRATE_MODE,
+                                   iTargetBitrate=400_000,
+                                   iMaxBitrate=120_000,
+                                   fMaxFrameRate=6.0,
+                                   bEnableFrameSkip=True))
+    n = 18
+    chunks = [enc.EncodeFrame(*f) for f in _frames(n)]
+    # steady-state 1s windows (6 frames) after warmup
+    for s in range(6, n - 6):
+        win = sum(8 * len(c) for c in chunks[s:s + 6])
+        assert win < 2.0 * 120_000, f"window {s}: {win} bits"
+    assert any(c == b"" for c in chunks), "ceiling should force skips"
