@@ -141,6 +141,19 @@ class CWelsH264SVCEncoder:
             st.fAveragePsnrY = self._psnr_sum[0] / self._psnr_n
             st.fAveragePsnrU = self._psnr_sum[1] / self._psnr_n
             st.fAveragePsnrV = self._psnr_sum[2] / self._psnr_n
+        # periodic statistics trace (STATISTICS_LOG_INTERVAL,
+        # welsEncoderExt.cpp UpdateStatistics periodic log)
+        iv = getattr(self, "_stats_log_interval", 0.0)
+        if iv > 0 and (time.monotonic()
+                       - getattr(self, "_last_stats_log", 0.0)) >= iv:
+            self._last_stats_log = time.monotonic()
+            from ..utils import wels_log, WELS_LOG_INFO
+            wels_log(WELS_LOG_INFO,
+                     f"EncoderStatistics: frames={st.uiInputFrameCount} "
+                     f"skipped={st.uiSkippedFrameCount} "
+                     f"avgQP={st.uiAverageFrameQP:.1f} "
+                     f"fps={st.fAverageFrameRate:.2f} "
+                     f"psnrY={st.fAveragePsnrY:.2f}")
         return bs
 
     def EncodeParameterSets(self) -> bytes:
@@ -215,6 +228,8 @@ class CWelsH264SVCEncoder:
         elif eOptionId == ENCODER_OPTION.DATAFORMAT:
             if int(value) != 23:      # videoFormatI420
                 return cmInitParaError
+        elif eOptionId == ENCODER_OPTION.STATISTICS_LOG_INTERVAL:
+            self._stats_log_interval = max(0, int(value)) / 1000.0
         elif eOptionId == ENCODER_OPTION.COMPLEXITY:
             # LOW/MEDIUM/HIGH -> ME search range ladder (the reference
             # maps complexity to ME/MD effort, welsEncoderExt.cpp:688)
