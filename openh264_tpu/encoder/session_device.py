@@ -709,7 +709,7 @@ class DeviceSessionEncoder:
             # R-QP model gets bits feedback before the pipeline widens
             # to the steady-state batch
             batch = self.fetch_batch
-            if self.rc is not None and stats["frames"] <= 3 * batch:
+            if self.rc is not None and stats["frames"] <= batch:
                 batch = max(2, batch // 4)
             if len(pending) >= batch:
                 flush()
