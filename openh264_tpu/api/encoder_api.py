@@ -53,6 +53,7 @@ class CWelsH264SVCEncoder:
             idr_interval=p.uiIntraPeriod,
             entropy_cabac=bool(p.iEntropyCodingModeFlag),
             num_ref_frames=max(1, p.iNumRefFrame),
+            usage_type=1 if int(getattr(p, "iUsageType", 0)) == 1 else 0,
             rc_mode=p.iRCMode,
             target_bitrate=p.iTargetBitrate,
             max_bitrate=max(0, int(getattr(p, "iMaxBitrate", 0) or 0)),

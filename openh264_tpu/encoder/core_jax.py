@@ -700,7 +700,7 @@ def _skip_mv_field(mv_q, mb_w, mb_h):
 @functools.partial(jax.jit, static_argnames=("mb_w", "mb_h", "sr"))
 def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
                    mb_w: int, mb_h: int, sr: int = 8, row_off=0,
-                   prev_skip_sad=None, prev_skip=None):
+                   prev_skip_sad=None, prev_skip=None, extra_mv=None):
     """Batched P-frame encode: MXU full-pel SSD search + windowed
     quarter-pel refine, P16x16-only partitions, intra fallback handled
     by the caller via the returned costs. Returns symbol tensors +
@@ -886,6 +886,30 @@ def encode_p_frame(y, u, v, ref_y, ref_u, ref_v, qp, qp_c,
     va_tab = jnp.asarray([vid(e) for e in ta], jnp.int32)      # [49]
     vb_tab = jnp.asarray([vid(e) for e in tb], jnp.int32)
     pred_soa = qpel_select((G, Bw, Hw, Jw), va_tab[best_q], vb_tab[best_q])
+
+    if extra_mv is not None:
+        # screen-content global candidate (scroll vector): the scroll
+        # offset usually exceeds the local search range, so evaluate it
+        # for EVERY MB and adopt where it beats the refined local best
+        # (JudgeScrollSkip / SvcMdSCDMbEnc intent,
+        # svc_mode_decision.cpp:351-392, at whole-MB granularity)
+        emv = jnp.asarray(extra_mv, jnp.int32)        # quarter-pel [2]
+        ei = emv >> 2                                  # scroll: frac 0
+        ar0 = jnp.arange(n_mb)
+        gye = PAD + row_off + (ar0 // mb_w) * 16 + ei[1]
+        gxe = PAD + (ar0 % mb_w) * 16 + ei[0]
+        Hp, Wp = ry.shape
+        valid_e = ((gye >= 0) & (gye <= Hp - 16)
+                   & (gxe >= 0) & (gxe <= Wp - 16))
+        pred_e = mxu_gather_windows(ry, jnp.clip(gye, 0, Hp - 16),
+                                    jnp.clip(gxe, 0, Wp - 16),
+                                    16).transpose(1, 2, 0)
+        bits_e = _se_nbits(emv[0] - mvp_qx) + _se_nbits(emv[1] - mvp_qy)
+        cost_e = satd16(src_soa - pred_e) + lam_mb * bits_e
+        take = valid_e & (cost_e < best_cost)
+        best_mv = jnp.where(take[:, None], emv[None, :], best_mv)
+        pred_soa = jnp.where(take[None, None, :], pred_e, pred_soa)
+        best_cost = jnp.where(take, cost_e, best_cost)
 
     # ---- early-skip promotion (WelsMdPSkipEnc, svc_base_layer_md.cpp
     # :1423): evaluate the P_Skip prediction; adopt it when its SAD is

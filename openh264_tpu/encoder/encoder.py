@@ -43,6 +43,11 @@ class EncoderConfig:
     chroma_qp_offset: int = 0
     search_range: int = 8
     enable_intra_in_p: bool = True
+    # EUsageType: 0 camera, 1 screen content (codec_app_def.h:286).
+    # Screen sessions run scroll detection and feed the global scroll
+    # vector to the P core as an extra whole-MB candidate
+    # (svc_mode_decision.cpp JudgeScrollSkip intent)
+    usage_type: int = 0
     # per-MB I16x16-vs-I4x4 mode decision on I frames (native C
     # sequential wavefront, enc_intra.c; CAVLC single-slice host path)
     enable_i4x4: bool = False
@@ -290,6 +295,7 @@ class H264Encoder:
             if bool(detect_scene_change(_p2m(y), self._prev_input)):
                 is_idr = True
         from .core_np import pad_to_mb as _p2m2
+        self._scroll_prev = getattr(self, "_prev_input", None)
         self._prev_input = _p2m2(y)
         self.frame_count += 1
         if not is_idr and self.rc.should_skip():
@@ -1058,6 +1064,18 @@ class H264Encoder:
                     else np.zeros(n_mb, np.int32))
         prev_skip = (ref.skip_map if ref.skip_map is not None
                      else np.zeros(n_mb, bool))
+        extra_mv = None
+        if cfg.usage_type == 1 and \
+                getattr(self, "_scroll_prev", None) is not None:
+            # screen content: a detected global scroll becomes a
+            # whole-MB candidate for every MB (its magnitude usually
+            # exceeds the local search range). Like the reference's
+            # preprocessing, detection compares INPUT frames (the
+            # recon's quantization noise breaks exact row matches).
+            from ..processing.scroll import detect_scroll
+            flag, mv_y = detect_scroll(yp, self._scroll_prev)
+            if flag and mv_y != 0:
+                extra_mv = np.array([0, 4 * mv_y], np.int32)
         out = core_jax.encode_p_frame(
             yp, up, vp, ry, ru, rv,
             self.qp if mb_qp is None else mb_qp,
@@ -1065,7 +1083,8 @@ class H264Encoder:
             mb_w=cfg.mb_width, mb_h=cfg.mb_height,
             sr=cfg.search_range,
             prev_skip_sad=np.asarray(prev_sad, np.int32),
-            prev_skip=np.asarray(prev_skip, bool))
+            prev_skip=np.asarray(prev_skip, bool),
+            extra_mv=extra_mv)
         out = {k: np.asarray(v) for k, v in out.items()}
         if mb_qp is not None:
             out["mb_qp"] = mb_qp
