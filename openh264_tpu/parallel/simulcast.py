@@ -10,8 +10,11 @@ combined stream whose NALs carry distinct sps/pps ids like the
 reference's SFrameBSInfo layer list.
 
 Layer sessions are independent by construction, so on a multi-chip
-mesh they map to a `layers` axis (each chip owns a resolution) with no
-cross-layer collectives — simulcast has none by definition.
+mesh they map one-per-device (each chip owns a resolution) with no
+cross-layer collectives — simulcast has none by definition. Pass
+`devices=` to pin layer k to devices[k % len(devices)]; each layer's
+frame then encodes concurrently via a host thread per layer feeding
+its device's async queue (the same pattern as gop_parallel.py).
 """
 
 from __future__ import annotations
@@ -22,7 +25,14 @@ import numpy as np
 class SimulcastEncoder:
     """N-resolution simulcast: layer 0 = full size, layer k = 1/2^k."""
 
-    def __init__(self, base_cfg, n_layers: int = 2):
+    def __init__(self, base_cfg, n_layers: int = 2, devices=None):
+        self.devices = list(devices) if devices else None
+        if self.devices:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(max_workers=n_layers)
+        self._init_layers(base_cfg, n_layers)
+
+    def _init_layers(self, base_cfg, n_layers: int):
         from ..encoder.encoder import EncoderConfig, H264Encoder
         if not (1 <= n_layers <= 4):
             raise ValueError("1..4 spatial layers (codec_app_def.h MAX)")
@@ -47,13 +57,13 @@ class SimulcastEncoder:
                 sps_id=k, pps_id=k)
             self.encoders.append(H264Encoder(cfg))
 
-    def encode_frame(self, y, u, v):
-        """Returns (combined_annexb, [per_layer_annexb...]); layer 0
-        first, matching SFrameBSInfo.sLayerInfo ordering."""
+    def _encode_layer(self, k, y, u, v):
         from ..processing.downsample import dyadic_downsample
+        import jax
         import jax.numpy as jnp
-        layers = []
-        for k, enc in enumerate(self.encoders):
+        enc = self.encoders[k]
+
+        def run():
             if k == 0:
                 yk, uk, vk = y, u, v
             else:
@@ -61,6 +71,24 @@ class SimulcastEncoder:
                 uk = np.asarray(dyadic_downsample(jnp.asarray(u), k))
                 vk = np.asarray(dyadic_downsample(jnp.asarray(v), k))
             h, w = enc.cfg.height, enc.cfg.width
-            layers.append(enc.encode_frame(yk[:h, :w], uk[:h // 2, :w // 2],
-                                           vk[:h // 2, :w // 2]))
+            return enc.encode_frame(yk[:h, :w], uk[:h // 2, :w // 2],
+                                    vk[:h // 2, :w // 2])
+
+        if self.devices:
+            dev = self.devices[k % len(self.devices)]
+            with jax.default_device(dev):
+                return run()
+        return run()
+
+    def encode_frame(self, y, u, v):
+        """Returns (combined_annexb, [per_layer_annexb...]); layer 0
+        first, matching SFrameBSInfo.sLayerInfo ordering. With
+        `devices`, all layers encode concurrently (one thread each)."""
+        if self.devices:
+            futs = [self._pool.submit(self._encode_layer, k, y, u, v)
+                    for k in range(self.n_layers)]
+            layers = [f.result() for f in futs]
+        else:
+            layers = [self._encode_layer(k, y, u, v)
+                      for k in range(self.n_layers)]
         return b"".join(layers), layers

@@ -30,3 +30,21 @@ def test_gop_parallel_matches_serial(rng):
                       idr_interval=4)).encode_stream(iter(fr))
     assert b"".join(got) == b"".join(ser)
     assert len(H264Decoder().decode_annexb(b"".join(got))) == 12
+
+
+def test_simulcast_device_parallel_matches_serial(rng):
+    """Simulcast layers across devices (one session per device) must be
+    byte-identical to the serial layer loop."""
+    from openh264_tpu.parallel.simulcast import SimulcastEncoder
+    w, h = 128, 96
+    ser = SimulcastEncoder(EncoderConfig(width=w, height=h, qp=30), 2)
+    par = SimulcastEncoder(EncoderConfig(width=w, height=h, qp=30), 2,
+                           devices=jax.devices())
+    bs_a = bs_b = b""
+    for _ in range(2):
+        y = rng.integers(0, 256, (h, w), np.uint8)
+        u = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+        v = rng.integers(0, 256, (h // 2, w // 2), np.uint8)
+        bs_a += ser.encode_frame(y, u, v)[0]
+        bs_b += par.encode_frame(y, u, v)[0]
+    assert bs_a == bs_b
