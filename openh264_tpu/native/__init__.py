@@ -301,8 +301,6 @@ def enc_intra_frame_native(y, u, v, qp: int, qp_c: int, lam: int,
     u = np.ascontiguousarray(u, np.uint8)
     v = np.ascontiguousarray(v, np.uint8)
     mb_h, mb_w = y.shape[0] // 16, y.shape[1] // 16
-    if mb_w * 4 * mb_h * 4 > 16384 * 16:
-        return None                     # beyond the C mode-grid cap
     n = mb_w * mb_h
     qmf = np.ascontiguousarray(np.asarray(QUANT_MF_4x4).reshape(52, 16),
                                np.int32)

@@ -15,6 +15,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 extern void pred4(int mode, const int32_t t[8], const int32_t l[4],
@@ -319,10 +320,12 @@ void enc_intra_frame(const void **ptrs, const int32_t *params) {
     int64_t f_ic = (1LL << qbits_c) / 3;
 
     /* per-4x4 I4 mode grid for MPM (non-I4 intra neighbors count as
-     * DC=2, unavailable as -1; spec 8.3.1.1) */
-    static int8_t modegrid[16384 * 16];   /* up to 512x512 MBs safe cap */
-    memset(modegrid, -1, (size_t)(mb_h * 4) * (mb_w * 4));
-    int8_t *mg = modegrid;
+     * DC=2, unavailable as -1; spec 8.3.1.1). Heap-allocated per call:
+     * concurrent sessions (simulcast / GOP parallel) may encode
+     * intra frames simultaneously. */
+    int8_t *mg = (int8_t *)malloc((size_t)(mb_h * 4) * (mb_w * 4));
+    if (!mg) return;
+    memset(mg, -1, (size_t)(mb_h * 4) * (mb_w * 4));
     int G4 = mb_w * 4;
 
     for (int idx = 0; idx < n_mb; idx++) {
@@ -584,4 +587,5 @@ void enc_intra_frame(const void **ptrs, const int32_t *params) {
             }
         }
     }
+    free(mg);
 }
