@@ -72,7 +72,10 @@ class CWelsH264SVCEncoder:
             enable_vui=True,
             slice_size_constraint=self._slice_size_constraint(p),
         )
-        self._enc = H264Encoder(cfg)
+        try:
+            self._enc = H264Encoder(cfg)
+        except ValueError:
+            return cmInitParaError
         self._stats = SEncoderStatistics(uiWidth=p.iPicWidth,
                                          uiHeight=p.iPicHeight)
         return cmResultSuccess

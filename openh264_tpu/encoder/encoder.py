@@ -156,6 +156,11 @@ class H264Encoder:
             # CABAC is prohibited in Baseline (Annex A.2.1); auto-bump to
             # Main like the reference (encoder_ext.cpp:655-662).
             cfg.profile_idc = 77
+        if cfg.slice_size_constraint > 0 and cfg.entropy_cabac:
+            raise ValueError("SM_SIZELIMITED slicing is CAVLC-only here")
+        if cfg.slice_size_constraint > 0 and cfg.num_slices > 1:
+            raise ValueError("slice_size_constraint and num_slices are "
+                             "mutually exclusive slice modes")
         if cfg.temporal_layers > 1:
             # DPB depth so each dyadic layer's anchor survives until the
             # next lower-layer frame arrives (see SURVEY §5.7)
