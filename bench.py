@@ -108,12 +108,13 @@ def _session_fps(frames, nframes, cfg_kwargs, tag):
     st["total_s"] = round(dt, 3)
     st["bytes"] = sum(len(o) for o in outs)
     print(f"stage timers [{tag}]:", json.dumps(st), file=sys.stderr)
-    return len(seq) / dt
+    return len(seq) / dt, b"".join(outs)
 
 
 def our_fps(yuv, nframes):
     """Headline: constant-QP single-slice IPPP CAVLC e2e (incl. input
-    upload from host numpy and Annex-B assembly on host)."""
+    upload from host numpy and Annex-B assembly on host). Returns
+    (fps, annexb_stream)."""
     return _session_fps(_load_frames(yuv, nframes), nframes, dict(qp=26),
                         "constqp")
 
@@ -125,7 +126,19 @@ def our_fps_featured(yuv, nframes):
         _load_frames(yuv, nframes), nframes,
         dict(qp=26, rc_mode=1, target_bitrate=6_000_000,
              max_frame_rate=30.0, num_slices=4, temporal_layers=2,
-             enable_frame_skip=False), "rc4slice2tid")
+             enable_frame_skip=False), "rc4slice2tid")[0]
+
+
+def our_decode_720p_fps(bs):
+    """Decode the 33-frame 720p IPPP CAVLC stream the encode leg just
+    produced (native parse + batched recon host path)."""
+    from openh264_tpu.decoder import H264Decoder
+    from openh264_tpu.decoder.nalbuf import split_complete
+    warm, _tail = split_complete(bs[:len(bs) // 8])  # whole NALs only
+    H264Decoder().decode_annexb(warm)                # warm compiles
+    t0 = time.perf_counter()
+    frames = H264Decoder().decode_annexb(bs)
+    return len(frames) / (time.perf_counter() - t0)
 
 
 def our_decode_fps():
@@ -146,9 +159,10 @@ def main():
     ref = ref_fps_live(yuv, n)
     if ref is None:
         ref = REF_FPS_720P_STORED
-    ours = our_fps(yuv, n)
+    ours, bs = our_fps(yuv, n)
     feat = our_fps_featured(yuv, n)
     dec = our_decode_fps()
+    dec720 = our_decode_720p_fps(bs)
     print(json.dumps({
         "metric": "encode_720p_e2e_fps",
         "value": round(ours, 3),
@@ -157,6 +171,7 @@ def main():
         "extras": {
             "encode_720p_rc_4slice_2tid_fps": round(feat, 3),
             "decode_qcif_cavlc_fps": round(dec, 3),
+            "decode_720p_cavlc_fps": round(dec720, 3),
             "ref_encode_fps_live": round(ref, 3),
         },
     }))
